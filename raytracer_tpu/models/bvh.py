@@ -1,0 +1,205 @@
+"""BVH: host-side build → flat, skip-threaded struct-of-arrays for HBM.
+
+Build algorithm reproduces the reference's proven recipe
+(/root/reference/bvh.h:48-163): top-down, split on the WIDEST axis at the
+spatial MIDPOINT of the node's bounding box, with up to 19 bisection retries
+toward the non-empty side to eliminate empty partitions (critical for
+horse_and_mug per bvh.h:117); a node becomes a leaf when it holds <= 1
+primitive, reaches depth 19, or the split fails.  Node boxes are the union
+of triangle-vertex AABBs extended by sphere AABBs (parser.h:272-317);
+partitioning compares primitive CENTERS (triangle centroid (a+b+c)/3,
+sphere center vertex) against the midpoint (bvh.h:123-135).
+
+Layout is redesigned for SIMD-lockstep device traversal instead of the
+reference's pointer stack (raytracer.cpp:177-225): nodes are flattened in
+PREORDER (left child = node+1, as in bvh.h:81-105) and each node additionally
+carries a SKIP index — the next preorder node outside its subtree — so a ray
+walks the whole tree with a single cursor and no stack:
+
+    hit box  → next node = node + 1   (descend / continue preorder)
+    miss box → next node = skip[node] (hop over the subtree)
+
+Leaves reference a contiguous range of a REORDERED primitive index array
+(triangles before spheres within each leaf, matching the reference's leaf
+test order raytracer.cpp:199-216) instead of carrying copies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+from raytracer_tpu.models.scene import SceneData, SceneMeta
+
+Array = Any
+
+MAX_BVH_DEPTH = 19  # bvh.h:18
+SPLIT_RETRIES = 19  # bvh.h:117
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVH:
+    """Flat skip-threaded BVH (a JAX pytree of device arrays).
+
+    N nodes in preorder; P reordered primitive slots.  Primitive ids encode
+    triangles as [0, T_pad) and spheres as T_pad + s, where T_pad is the
+    padded triangle count of the owning SceneData.
+    """
+
+    box_min: Array      # (N, 3) f32
+    box_max: Array      # (N, 3) f32
+    skip: Array         # (N,)  i32 — next preorder node outside this subtree
+    leaf_start: Array   # (N,)  i32 — into prim_idx; 0 for inner nodes
+    leaf_count: Array   # (N,)  i32 — 0 for inner nodes
+    axis: Array         # (N,)  i32 — split axis (inner nodes)
+    prim_idx: Array     # (P,)  i32 — reordered primitive ids
+
+
+def _widest_axis(bmin: np.ndarray, bmax: np.ndarray) -> int:
+    # strictly-greater comparison ⇒ first max wins, like Box::getWidestAxis
+    # (parser.h:227-235)
+    return int(np.argmax(bmax - bmin))
+
+
+def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
+    """Build on host from the (numpy-convertible) scene arrays."""
+    verts = np.asarray(data.vertices, dtype=np.float32)
+    tri_v = np.asarray(data.tri_v, dtype=np.int64)[: meta.n_tris]
+    t_pad = int(np.asarray(data.tri_v).shape[0])
+    sph_c = verts[np.asarray(data.sphere_cvid, dtype=np.int64)[: meta.n_spheres]]
+    sph_r = np.asarray(data.sphere_rad, dtype=np.float32)[: meta.n_spheres]
+
+    n_tris, n_sph = meta.n_tris, meta.n_spheres
+    n_prims = n_tris + n_sph
+    if n_prims == 0:
+        return BVH(
+            box_min=np.zeros((1, 3), np.float32),
+            box_max=np.zeros((1, 3), np.float32),
+            skip=np.ones((1,), np.int32),
+            leaf_start=np.zeros((1,), np.int32),
+            leaf_count=np.zeros((1,), np.int32),
+            axis=np.zeros((1,), np.int32),
+            prim_idx=np.zeros((1,), np.int32),
+        )
+
+    # per-primitive AABBs and centers; prims ordered tris-then-spheres so a
+    # stable partition keeps every leaf's triangles ahead of its spheres.
+    tv = verts[tri_v]  # (n_tris, 3, 3)
+    prim_min = np.concatenate([tv.min(axis=1), sph_c - sph_r[:, None]], axis=0)
+    prim_max = np.concatenate([tv.max(axis=1), sph_c + sph_r[:, None]], axis=0)
+    centers = np.concatenate([tv.mean(axis=1), sph_c], axis=0).astype(np.float32)
+    prim_ids = np.concatenate(
+        [np.arange(n_tris, dtype=np.int32), t_pad + np.arange(n_sph, dtype=np.int32)]
+    )
+
+    node_min, node_max, node_axis = [], [], []
+    leaf_ranges = []  # (start, count) per node; (0, 0) for inner
+    prim_order: list[np.ndarray] = []
+    prim_cursor = 0
+
+    def emit(idx_list: np.ndarray, depth: int) -> int:
+        """Emit the subtree over prims `idx_list` in preorder; return size."""
+        nonlocal prim_cursor
+        my = len(node_min)
+        bmin = prim_min[idx_list].min(axis=0)
+        bmax = prim_max[idx_list].max(axis=0)
+        node_min.append(bmin)
+        node_max.append(bmax)
+        node_axis.append(0)
+        leaf_ranges.append((0, 0))
+
+        def make_leaf():
+            nonlocal prim_cursor
+            leaf_ranges[my] = (prim_cursor, len(idx_list))
+            prim_order.append(prim_ids[idx_list])
+            prim_cursor += len(idx_list)
+            return 1
+
+        if len(idx_list) <= 1 or depth >= MAX_BVH_DEPTH:
+            return make_leaf()
+
+        ax = _widest_axis(bmin, bmax)
+        node_axis[my] = ax
+        start, end = np.float32(bmin[ax]), np.float32(bmax[ax])
+        mid = np.float32((start + end) / 2)
+        coords = centers[idx_list, ax]
+        left_mask = coords < mid
+        # bvh.h:119-161 evaluates at most 19 candidate midpoints total (the
+        # initial one plus 18 bisection retries), so allow 18 adjustments
+        # after the initial partition test.
+        tries = SPLIT_RETRIES - 1
+        while tries > 0 and (left_mask.all() or not left_mask.any()):
+            tries -= 1
+            if not left_mask.any():
+                start = mid
+            else:
+                end = mid
+            mid = np.float32((start + end) / 2)
+            left_mask = coords < mid
+        if left_mask.all() or not left_mask.any():
+            return make_leaf()  # split failed → leaf (bvh.h:71-74)
+
+        size_l = emit(idx_list[left_mask], depth + 1)
+        size_r = emit(idx_list[~left_mask], depth + 1)
+        return 1 + size_l + size_r
+
+    all_idx = np.arange(n_prims)
+    total = emit(all_idx, 0)
+    n_nodes = len(node_min)
+    assert total == n_nodes
+
+    # skip pointers: skip[i] = i + subtree_size(i); recover subtree sizes by
+    # a second preorder pass mirroring emit's recursion via leaf/inner flags.
+    leaf_count_arr = np.array([c for (_, c) in leaf_ranges], dtype=np.int32)
+    skip = np.zeros(n_nodes, dtype=np.int32)
+
+    def fill_skip(i: int) -> int:
+        if leaf_count_arr[i] > 0:
+            skip[i] = i + 1
+            return i + 1
+        j = fill_skip(i + 1)
+        j = fill_skip(j)
+        skip[i] = j
+        return j
+
+    end_idx = fill_skip(0)
+    assert end_idx == n_nodes
+
+    return BVH(
+        box_min=np.stack(node_min).astype(np.float32),
+        box_max=np.stack(node_max).astype(np.float32),
+        skip=skip,
+        leaf_start=np.array([s for (s, _) in leaf_ranges], dtype=np.int32),
+        leaf_count=leaf_count_arr,
+        axis=np.array(node_axis, dtype=np.int32),
+        prim_idx=np.concatenate(prim_order).astype(np.int32),
+    )
+
+
+def validate_bvh(bvh: BVH, n_prims: int) -> None:
+    """Structural invariants (used by tests): every primitive appears in
+    exactly one leaf; child boxes are contained in parent boxes; skip
+    pointers are monotone and land inside [i+1, N]."""
+    prim_idx = np.asarray(bvh.prim_idx)
+    counts = np.asarray(bvh.leaf_count)
+    starts = np.asarray(bvh.leaf_start)
+    n = counts.shape[0]
+    seen: list[int] = []
+    for i in range(n):
+        if counts[i] > 0:
+            seen.extend(prim_idx[starts[i] : starts[i] + counts[i]].tolist())
+    assert len(seen) == n_prims, (len(seen), n_prims)
+    assert len(set(seen)) == n_prims
+    skip = np.asarray(bvh.skip)
+    assert (skip >= np.arange(n) + 1).all()
+    assert (skip <= n).all()
+    bmin, bmax = np.asarray(bvh.box_min), np.asarray(bvh.box_max)
+    for i in range(n):
+        if counts[i] == 0:  # inner: children are i+1 and skip[i+1]
+            for ch in (i + 1, int(skip[i + 1])):
+                assert (bmin[ch] >= bmin[i] - 1e-5).all()
+                assert (bmax[ch] <= bmax[i] + 1e-5).all()

@@ -1,0 +1,175 @@
+"""Differentiable hit refinement + Blinn-Phong shading over the wavefront.
+
+The visibility engines (ops.traverse) return only integer primitive ids.
+``refine_hit`` re-derives t, the shading normal, and the material id from the
+chosen primitive DIFFERENTIABLY, so gradients flow into vertices, sphere
+parameters, materials, and lights while the discrete hit topology stays
+fixed (piecewise-constant, zero-gradient) — the standard convention for
+differentiable Whitted tracing.
+
+Shading semantics replicate /root/reference/raytracer.cpp:385-452 exactly:
+
+- ambient  = mat.ambient ⊙ scene.ambient_light, added at EVERY bounce (:394)
+- the shadow/illumination point is offset along the (unflipped!) geometric
+  normal by shadow_ray_epsilon (:397); shadow rays use the normalized
+  direction from the OFFSET point, and occlusion means any hit with
+  t < distance-to-light (:399-405)
+- irradiance uses the distance measured from the OFFSET point (:400,408)
+- cosTheta for diffuse/specular-gate uses the direction from the UNOFFSET
+  point (:402,407); diffuse uses clamp(cosTheta, 0, 1) (:420-421)
+- Blinn-Phong specular is gated by acos(cosTheta)*180/3.1415 <= 90.01
+  (:411-418, the reference's literal constants) with half-vector
+  h = normalize(shadow_dir + normalize(-ray_dir))
+- mirror reflection: dir = d̂ + n̂·2(−d̂·n̂) from the offset point, tinted by
+  mat.mirror (:430-439); the normal is never flipped for backfaces.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.models.scene import SceneData, SceneMeta
+from raytracer_tpu.ops.intersect import dot, normalize
+
+SPEC_GATE_DEG = 90.01
+RAD_TO_DEG = 180.0 / 3.1415  # reference's literal pi (raytracer.cpp:411)
+
+
+class Hit(NamedTuple):
+    hit: jnp.ndarray      # (R,)  bool
+    t: jnp.ndarray        # (R,)  f32 — safe (1.0) on miss lanes
+    normal: jnp.ndarray   # (R,3) f32 — unit, geometric, unflipped
+    mat: jnp.ndarray      # (R,)  i32 — 0 on miss lanes
+    point: jnp.ndarray    # (R,3) f32 — origin + t*dir
+    offset: jnp.ndarray   # (R,3) f32 — point + normal*eps
+
+
+def _det3(u, v, w):
+    return (
+        u[..., 0] * (v[..., 1] * w[..., 2] - w[..., 1] * v[..., 2])
+        - v[..., 0] * (u[..., 1] * w[..., 2] - w[..., 1] * u[..., 2])
+        + w[..., 0] * (u[..., 1] * v[..., 2] - v[..., 1] * u[..., 2])
+    )
+
+
+def refine_hit(data: SceneData, meta: SceneMeta, origin, dirs, prim) -> Hit:
+    """Differentiably recompute the intersection for chosen prim ids.
+
+    All divisions/normalizations are guarded on miss lanes so reverse-mode
+    gradients stay NaN-free (the where-grad trap).
+    """
+    prim = jax.lax.stop_gradient(prim)
+    t_pad = data.tri_v.shape[0]
+    s_pad = data.sphere_cvid.shape[0]
+    hit = prim >= 0
+    p = jnp.where(hit, prim, 0)
+    is_tri = p < t_pad
+
+    origin = jnp.broadcast_to(origin, dirs.shape)
+
+    # --- triangle branch
+    ti = jnp.clip(p, 0, t_pad - 1)
+    v = data.tri_v[ti]
+    a = data.vertices[v[:, 0]]
+    b = data.vertices[v[:, 1]]
+    c = data.vertices[v[:, 2]]
+    ab, ac, ao = a - b, a - c, a - origin
+    det_a = _det3(ab, ac, dirs)
+    safe_det = jnp.where(hit & is_tri, det_a, 1.0)
+    t_tri = _det3(ab, ac, ao) / safe_det
+    cr = jnp.cross(b - a, c - a)
+    cr = jnp.where((hit & is_tri)[:, None], cr, jnp.array([0.0, 0.0, 1.0]))
+    n_tri = normalize(cr)
+
+    # --- sphere branch
+    si = jnp.clip(p - t_pad, 0, s_pad - 1)
+    center = data.vertices[data.sphere_cvid[si]]
+    rad = data.sphere_rad[si]
+    oc = origin - center
+    a_q = dot(dirs, dirs)
+    b_q = 2.0 * dot(dirs, oc)
+    c_q = dot(oc, oc) - rad * rad
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    disc = jnp.where(hit & ~is_tri, disc, 1.0)
+    t_sph = (-b_q - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_q)
+    safe_rad = jnp.where(hit & ~is_tri, rad, 1.0)
+    p_sph = origin + t_sph[:, None] * dirs
+    n_sph_raw = (p_sph - center) / safe_rad[:, None]
+    n_sph_raw = jnp.where(
+        (hit & ~is_tri)[:, None], n_sph_raw, jnp.array([0.0, 0.0, 1.0])
+    )
+    n_sph = normalize(n_sph_raw)
+
+    t = jnp.where(is_tri, t_tri, t_sph)
+    t = jnp.where(hit, t, 1.0)
+    normal = jnp.where(is_tri[:, None], n_tri, n_sph)
+    mat = jnp.where(
+        is_tri, data.tri_mat[ti], data.sphere_mat[si]
+    )
+    mat = jnp.where(hit, mat, 0)
+    point = origin + t[:, None] * dirs
+    offset = point + normal * jnp.float32(meta.shadow_eps)
+    return Hit(hit=hit, t=t, normal=normal, mat=mat, point=point, offset=offset)
+
+
+def shade_local(
+    data: SceneData,
+    meta: SceneMeta,
+    dirs,
+    h: Hit,
+    occluded_fn: Callable,
+):
+    """Ambient + per-light diffuse/specular for the current wavefront.
+
+    occluded_fn(org, sdir, t_max) -> (R,) bool runs the shadow any-hit.
+    Returns (R, 3) local radiance (zero on miss lanes).
+    """
+    amb = data.mat_ambient[h.mat] * data.ambient_light[None, :]
+    color = jnp.where(h.hit[:, None], amb, 0.0)
+
+    d_unit = normalize(dirs)
+    n_unit = normalize(h.normal)  # already unit; matches :414's re-normalize
+    diffuse = data.mat_diffuse[h.mat]
+    specular = data.mat_specular[h.mat]
+    phong = data.mat_phong[h.mat]
+
+    for li in range(data.light_pos.shape[0]):
+        if li >= meta.n_lights:
+            break
+        lp = data.light_pos[li]
+        lint = data.light_int[li]
+        to_light_off = lp[None, :] - h.offset
+        light_dist = jnp.linalg.norm(to_light_off, axis=-1)
+        sdir = to_light_off / light_dist[:, None]
+        sdir_real = normalize(lp[None, :] - h.point)
+
+        occ = occluded_fn(h.offset, sdir, light_dist)
+        lit = h.hit & ~occ
+
+        cos_theta = dot(sdir_real, h.normal)
+        irr = lint[None, :] / (light_dist * light_dist)[:, None]
+
+        # specular gate: acos in degrees with the reference's 3.1415
+        theta_deg = jax.lax.stop_gradient(jnp.arccos(cos_theta) * RAD_TO_DEG)
+        gate = theta_deg <= SPEC_GATE_DEG  # NaN (cos>1) → False, like C acos
+        cos_h = jnp.maximum(0.0, dot(n_unit, normalize(sdir - d_unit)))
+        spec = specular * jnp.power(cos_h, phong)[:, None] * irr
+        diff = diffuse * jnp.clip(cos_theta, 0.0, 1.0)[:, None] * irr
+
+        contrib = diff + jnp.where(gate[:, None], spec, 0.0)
+        color = color + jnp.where(lit[:, None], contrib, 0.0)
+    return color
+
+
+def reflection_rays(data: SceneData, dirs, h: Hit):
+    """Mirror bounce: new (origin, dir, tint, active) for the wavefront."""
+    d_unit = normalize(dirs)
+    n_unit = normalize(h.normal)
+    cos_r = -dot(d_unit, n_unit)
+    refl_dir = d_unit + n_unit * (2.0 * cos_r)[:, None]
+    tint = data.mat_mirror[h.mat]
+    is_mirror = data.mat_is_mirror[h.mat] & h.hit
+    return h.offset, refl_dir, tint, is_mirror

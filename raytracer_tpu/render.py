@@ -1,0 +1,79 @@
+"""CLI driver: ``python -m raytracer_tpu.render scene.xml [options]``.
+
+Mirrors the reference's main (/root/reference/raytracer.cpp:487-525): loads
+the scene, builds the BVH ("plants trees"), renders every camera in the
+file, and writes one PPM per camera to the working directory, printing
+per-phase timings and ray throughput.  SSAA defaults to the reference's
+committed configuration (2x per dimension, raytracer.cpp:26-28); pass
+``--ssaa 1`` for golden-parity renders (the bundled goldens are no-AA).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from raytracer_tpu.models.bvh import build_bvh
+from raytracer_tpu.models.scene import load_scene
+from raytracer_tpu.models.whitted import render_camera
+from raytracer_tpu.ops.image import downsample_mean, downsample_parity, quantize
+from raytracer_tpu.utils.ppm import write_ppm
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="TPU-native Whitted ray tracer")
+    ap.add_argument("scene", help="scene XML (CENG477 format)")
+    ap.add_argument("--ssaa", type=int, default=2,
+                    help="supersampling factor per dimension (1 = off)")
+    ap.add_argument("--ssaa-mode", choices=["parity", "mean"], default="parity",
+                    help="parity: uint8 truncating box filter like the "
+                         "reference; mean: float mean before quantization")
+    ap.add_argument("--engine", choices=["auto", "brute", "bvh"], default="auto")
+    ap.add_argument("--chunk", type=int, default=1 << 18,
+                    help="rays per device dispatch")
+    ap.add_argument("--out-dir", default=".", help="output directory")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="render repetitions for benchmarking")
+    args = ap.parse_args(argv)
+
+    data, meta = load_scene(args.scene)
+    data = jax.device_put(data)
+
+    t0 = time.perf_counter()
+    bvh = jax.device_put(build_bvh(data, meta)) if args.engine != "brute" else None
+    t1 = time.perf_counter()
+    print(f"Planted trees in {t1 - t0:.3f} seconds.")
+    if args.ssaa > 1:
+        print(f"Super Sampling Anti aliasing is enabled. ({args.ssaa}*{args.ssaa}x)")
+
+    t_render = 0.0
+    for _ in range(args.repeat):
+        for cam in meta.cameras:
+            rcam = cam.scaled(args.ssaa) if args.ssaa > 1 else cam
+            print(f"Rendering {cam.image_name} "
+                  f"({rcam.width}x{rcam.height}, engine={args.engine})...")
+            t2 = time.perf_counter()
+            color = render_camera(data, meta, rcam, bvh=bvh, engine=args.engine,
+                                  chunk=args.chunk)
+            if args.ssaa > 1:
+                if args.ssaa_mode == "parity":
+                    img = downsample_parity(quantize(color), args.ssaa)
+                else:
+                    img = quantize(downsample_mean(color, args.ssaa))
+            else:
+                img = quantize(color)
+            img = np.asarray(img)
+            t3 = time.perf_counter()
+            t_render += t3 - t2
+            rays = rcam.width * rcam.height
+            print(f"  {t3 - t2:.3f} s, {rays / (t3 - t2) / 1e6:.2f} Mrays/s (primary)")
+            write_ppm(f"{args.out_dir}/{cam.image_name}", img)
+    print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
+    print(f"Total: {t_render / args.repeat + (t1 - t0):.3f} seconds.")
+
+
+if __name__ == "__main__":
+    main()

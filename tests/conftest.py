@@ -1,0 +1,36 @@
+"""Test config: force a virtual 8-device CPU mesh before JAX initializes.
+
+The container exposes one real TPU chip via the experimental 'axon' platform;
+tests must be hermetic and multi-device, so we pin JAX to CPU with 8 forced
+host devices (the same mechanism the driver uses for multi-chip dry-runs).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_inputs():
+    path = os.path.join(REFERENCE, "inputs")
+    if not os.path.isdir(path):
+        pytest.skip("reference scenes not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def reference_outputs():
+    path = os.path.join(REFERENCE, "outputs")
+    if not os.path.isdir(path):
+        pytest.skip("reference golden outputs not available")
+    return path
