@@ -1,0 +1,57 @@
+"""Golden-image parity vs the course's TA-rendered PPMs.
+
+Tolerances are calibrated to what the REFERENCE BINARY ITSELF achieves
+against the same goldens in this environment (SURVEY.md §4): ±1 LSB noise
+on simple, a few dozen silhouette-edge float flips on bunny/cornellbox.
+"""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.models.bvh import build_bvh
+from raytracer_tpu.models.scene import load_scene
+from raytracer_tpu.models.whitted import render_camera
+from raytracer_tpu.ops.image import quantize
+from raytracer_tpu.utils.ppm import read_ppm
+
+
+def _render(reference_inputs, scene, image_name, engine):
+    data, meta = load_scene(f"{reference_inputs}/{scene}.xml")
+    cam = next(c for c in meta.cameras if c.image_name == image_name)
+    bvh = build_bvh(data, meta) if engine == "bvh" else None
+    img = render_camera(data, meta, cam, bvh=bvh, engine=engine)
+    return np.asarray(quantize(img))
+
+
+def _check(img, gold, frac_tol, big_frac_tol, mse_tol):
+    d = np.abs(img.astype(int) - gold.astype(int))
+    frac = (d > 0).mean()
+    big_frac = (d > 2).mean()
+    mse = (d.astype(float) ** 2).mean()
+    assert frac <= frac_tol, (frac, big_frac, mse)
+    assert big_frac <= big_frac_tol, (frac, big_frac, mse)
+    assert mse <= mse_tol, (frac, big_frac, mse)
+
+
+def test_simple_parity(reference_inputs, reference_outputs):
+    img = _render(reference_inputs, "simple", "simple.ppm", "brute")
+    gold = read_ppm(f"{reference_outputs}/simple.ppm")
+    # reference binary: 408 channels differ, max |Δ|=1
+    _check(img, gold, frac_tol=5e-4, big_frac_tol=0.0, mse_tol=1e-3)
+
+
+@pytest.mark.slow
+def test_bunny_parity(reference_inputs, reference_outputs):
+    img = _render(reference_inputs, "bunny", "bunny.ppm", "bvh")
+    gold = read_ppm(f"{reference_outputs}/bunny.ppm")
+    # reference binary: 6348 channels differ, max |Δ|=3; we see a handful of
+    # extra edge flips from different fp contraction
+    _check(img, gold, frac_tol=0.02, big_frac_tol=1e-3, mse_tol=0.5)
+
+
+@pytest.mark.slow
+def test_cornellbox_parity(reference_inputs, reference_outputs):
+    img = _render(reference_inputs, "cornellbox", "cornellbox_front.ppm", "brute")
+    gold = read_ppm(f"{reference_outputs}/cornellbox_front.ppm")
+    # reference binary: MSE 4.08 with ~40 edge pixels flipped by >100
+    _check(img, gold, frac_tol=0.02, big_frac_tol=1e-3, mse_tol=6.0)
