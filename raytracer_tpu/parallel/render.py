@@ -1,0 +1,91 @@
+"""SPMD rendering: shard the ray axis over the mesh, replicate the scene.
+
+This is the TPU-native replacement for the reference's row-interleaved
+pthread render loop (/root/reference/raytracer.cpp:352-381): instead of T
+threads owning interleaved rows of one shared image, N chips own contiguous
+shards of the flattened ray axis; each shard is traced independently (rays
+never communicate) and the image is assembled by the host gather implicit in
+``np.asarray`` on the sharded output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from raytracer_tpu.models.bvh import BVH
+from raytracer_tpu.models.scene import Camera, SceneData, SceneMeta
+from raytracer_tpu.models.whitted import render_rays
+from raytracer_tpu.ops.camera import eye_rays
+from raytracer_tpu.parallel.mesh import RAY_AXIS, ray_sharding, replicated
+
+
+def _sharded_render_fn(mesh: Mesh, meta: SceneMeta, engine: str, has_bvh: bool):
+    """Build the jitted shard_map'ed render over `mesh`. Cached per config."""
+    del has_bvh  # a None bvh is an empty pytree; P() prefixes both cases
+    bvh_spec = P()
+
+    def local(data, bvh, origin, dirs):
+        return render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine)
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), bvh_spec, P(), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    )
+    return jax.jit(smapped)
+
+
+_FN_CACHE: dict = {}
+
+
+def render_rays_sharded(
+    data: SceneData,
+    meta: SceneMeta,
+    origin,
+    dirs,
+    mesh: Mesh,
+    bvh: Optional[BVH] = None,
+    engine: str = "brute",
+):
+    """Trace a wavefront with the ray axis sharded over `mesh`.
+
+    `dirs.shape[0]` must be a multiple of the mesh size (callers pad; see
+    `render_camera_sharded`).  Returns (R, 3) radiance sharded over the mesh.
+    """
+    key = (id(mesh), meta, engine, bvh is not None)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE[key] = _sharded_render_fn(mesh, meta, engine, bvh is not None)
+    return fn(data, bvh, jnp.asarray(origin, jnp.float32), dirs)
+
+
+def render_camera_sharded(
+    data: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    mesh: Mesh,
+    bvh: Optional[BVH] = None,
+    engine: str = "brute",
+) -> np.ndarray:
+    """Render one camera over the mesh; returns host (H, W, 3) float32."""
+    origin, dirs = eye_rays(cam)
+    r = dirs.shape[0]
+    n = mesh.size
+    pad = (-r) % n
+    if pad:
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))], 0)
+    dirs = jax.device_put(dirs, ray_sharding(mesh))
+    data = jax.device_put(data, replicated(mesh))
+    if bvh is not None:
+        bvh = jax.device_put(bvh, replicated(mesh))
+    color = render_rays_sharded(data, meta, origin, dirs, mesh, bvh=bvh, engine=engine)
+    return np.asarray(color)[:r].reshape(cam.height, cam.width, 3)
