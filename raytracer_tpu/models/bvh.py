@@ -65,6 +65,56 @@ def _widest_axis(bmin: np.ndarray, bmax: np.ndarray) -> int:
     return int(np.argmax(bmax - bmin))
 
 
+def _build_native(prim_min, prim_max, centers, prim_ids):
+    """Build via the C++ runtime (native/raytracer_native.cpp); None if the
+    library is unavailable.  Bit-identical to the Python path (both are
+    float32 midpoint bisection)."""
+    import ctypes
+
+    from raytracer_tpu.utils.native import load
+
+    lib = load()
+    if lib is None:
+        return None
+    n = prim_ids.shape[0]
+    cap = 2 * n + 1
+    f32 = np.float32
+    i32 = np.int32
+    pmin = np.ascontiguousarray(prim_min, f32)
+    pmax = np.ascontiguousarray(prim_max, f32)
+    cen = np.ascontiguousarray(centers, f32)
+    pid = np.ascontiguousarray(prim_ids, i32)
+    node_min = np.empty((cap, 3), f32)
+    node_max = np.empty((cap, 3), f32)
+    skip = np.empty((cap,), i32)
+    leaf_start = np.empty((cap,), i32)
+    leaf_count = np.empty((cap,), i32)
+    axis = np.empty((cap,), i32)
+    prim_out = np.empty((n,), i32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    cf, ci = ctypes.c_float, ctypes.c_int32
+    n_nodes = lib.rt_build_bvh(
+        n, p(pmin, cf), p(pmax, cf), p(cen, cf), p(pid, ci),
+        MAX_BVH_DEPTH, SPLIT_RETRIES,
+        p(node_min, cf), p(node_max, cf), p(skip, ci), p(leaf_start, ci),
+        p(leaf_count, ci), p(axis, ci), p(prim_out, ci), cap,
+    )
+    if n_nodes <= 0:
+        return None
+    return BVH(
+        box_min=node_min[:n_nodes].copy(),
+        box_max=node_max[:n_nodes].copy(),
+        skip=skip[:n_nodes].copy(),
+        leaf_start=leaf_start[:n_nodes].copy(),
+        leaf_count=leaf_count[:n_nodes].copy(),
+        axis=axis[:n_nodes].copy(),
+        prim_idx=prim_out,
+    )
+
+
 def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
     """Build on host from the (numpy-convertible) scene arrays."""
     verts = np.asarray(data.vertices, dtype=np.float32)
@@ -95,6 +145,10 @@ def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
     prim_ids = np.concatenate(
         [np.arange(n_tris, dtype=np.int32), t_pad + np.arange(n_sph, dtype=np.int32)]
     )
+
+    built = _build_native(prim_min, prim_max, centers, prim_ids)
+    if built is not None:
+        return built
 
     node_min, node_max, node_axis = [], [], []
     leaf_ranges = []  # (start, count) per node; (0, 0) for inner

@@ -38,7 +38,7 @@ def render_rays(
     meta: SceneMeta,
     origin,
     dirs,
-    bvh: Optional[BVH] = None,
+    bvh=None,
     engine: str = "brute",
 ):
     """Trace a wavefront of rays to radiance.
@@ -54,13 +54,17 @@ def render_rays(
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), dirs.shape)
     dirs = jnp.asarray(dirs, jnp.float32)
 
-    def occluded(org, sdir, t_max):
-        return traverse.any_hit(data, org, sdir, t_max, bvh, engine)
-
-    def bounce(carry, depth):
-        color, throughput, active, cur_org, cur_dir = carry
-        prim = traverse.closest_hit(data, cur_org, cur_dir, bvh, engine)
+    def bounce(carry):
+        depth, color, throughput, active, cur_org, cur_dir = carry
+        prim = traverse.closest_hit(
+            data, cur_org, cur_dir, bvh, engine, active=active
+        )
         prim = jnp.where(active, prim, traverse.MISS)
+
+        def occluded(org, sdir, t_max, mask):
+            return traverse.any_hit(
+                data, org, sdir, t_max, bvh, engine, active=mask
+            )
         h = refine_hit(data, meta, cur_org, cur_dir, prim)
 
         # depth-0 miss → background color; deeper misses stay black
@@ -79,20 +83,25 @@ def render_rays(
         throughput = jnp.where(active[:, None], throughput * tint, 0.0)
         cur_org = jnp.where(active[:, None], refl_org, cur_org)
         cur_dir = jnp.where(active[:, None], refl_dir, cur_dir)
-        return (color, throughput, active, cur_org, cur_dir), None
+        return depth + 1, color, throughput, active, cur_org, cur_dir
+
+    def alive(carry):
+        depth, _, _, active, _, _ = carry
+        return (depth <= meta.max_depth) & jnp.any(active)
 
     init = (
+        jnp.int32(0),
         jnp.zeros((r, 3), jnp.float32),
         jnp.ones((r, 3), jnp.float32),
         jnp.ones((r,), bool),
         origin,
         dirs,
     )
-    # one traced bounce, scanned max_depth+1 times — keeps the compiled
-    # graph size independent of recursion depth
-    (color, _, _, _, _), _ = jax.lax.scan(
-        bounce, init, jnp.arange(meta.max_depth + 1)
-    )
+    # one traced bounce in a while_loop: graph size independent of
+    # recursion depth AND early exit once every mirror path has died
+    # (scenes routinely declare MaxRecursionDepth=6 with no mirrors at
+    # all — the reference's recursion just never happens there)
+    _, color, _, _, _, _ = jax.lax.while_loop(alive, bounce, init)
     return color
 
 
@@ -105,21 +114,39 @@ def render_camera(
     data: SceneData,
     meta: SceneMeta,
     cam: Camera,
-    bvh: Optional[BVH] = None,
+    bvh=None,
     engine: str = "auto",
     chunk: int = 1 << 18,
 ):
     """Render one camera to an (H, W, 3) float32 radiance image.
 
     Rays are processed in fixed-size chunks so arbitrarily large frames fit
-    in HBM and jit caches are reused across chunks and cameras.
+    in HBM and jit caches are reused across chunks and cameras.  With the
+    cluster engine, rays are re-ordered into square pixel tiles (16x16 for
+    TILE=256) so every kernel tile is a coherent frustum; the inverse
+    permutation restores image order afterwards.
     """
+    from raytracer_tpu.models.clusters import ClusterSet
+
     if engine == "auto":
-        n_prims = meta.n_tris + meta.n_spheres
-        engine = "bvh" if (bvh is not None and n_prims > 64) else "brute"
+        if isinstance(bvh, ClusterSet):
+            engine = "cluster"
+        elif bvh is not None and meta.n_tris + meta.n_spheres > 64:
+            engine = "bvh"
+        else:
+            engine = "brute"
     origin, dirs = eye_rays(cam)
     r = dirs.shape[0]
-    chunk = min(chunk, r)
+    inv = None
+    if engine == "cluster":
+        from raytracer_tpu.ops.cluster_trace import TILE
+        from raytracer_tpu.ops.tiling import block_permutation
+
+        side = int(TILE ** 0.5)
+        perm, inv = block_permutation(cam.height, cam.width, side, side)
+        dirs = dirs[perm]
+        chunk = max(TILE, (chunk // TILE) * TILE)
+    chunk = min(chunk, ((r + 255) // 256) * 256)
     pad = (-r) % chunk
     if pad:
         dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))], axis=0)
@@ -129,4 +156,6 @@ def render_camera(
             _render_rays_jit(data, meta, origin, dirs[s : s + chunk], bvh, engine)
         )
     color = jnp.concatenate(outs, axis=0)[:r]
+    if inv is not None:
+        color = color[inv]
     return color.reshape(cam.height, cam.width, 3)

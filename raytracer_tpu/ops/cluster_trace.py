@@ -1,0 +1,418 @@
+"""Cluster-culled dense visibility engine (Pallas TPU kernels).
+
+Pipeline per trace call (closest-hit or shadow any-hit):
+
+1. ``tile_cluster_mask`` (pure jnp, dense): a conservative interval-
+   arithmetic slab test of every RAY TILE's origin/direction bounding
+   intervals against every cluster AABB -> a per-tile cluster hit mask.
+   Sound by construction: interval bounds enclose every ray in the tile,
+   so a cluster a ray could hit is never masked out.  Inactive lanes are
+   excluded from the intervals (their results are masked downstream).
+2. ``_compact``: the per-tile mask becomes a short SMEM-resident cluster
+   id list (ascending ids, via top_k) plus a count, and a packed bitmask
+   kept as a sound fallback for tiles whose candidate count overflows the
+   list (the kernel then scans all clusters, testing bits).
+3. A Pallas kernel visits, for each ray tile, only its listed clusters:
+   128 primitives per cluster on VPU lanes x TILE rays on sublanes, both
+   operands resident in VMEM, best-(t, slot) kept in VMEM scratch.
+
+Semantics match ops.traverse.brute_* (and therefore the reference,
+raytracer.cpp:70-175,199-253): inclusive triangle edges with t >= 0, no
+backface culling, spheres report the smaller root even when negative,
+strict-< best updates with triangles tested before spheres, shadow
+any-hit accepts any t < t_max.  These engines return discrete ids only
+and are non-differentiable by design (ops.shade.refine_hit re-derives
+the differentiable quantities).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.models.clusters import CLUSTER, ClusterSet
+from raytracer_tpu.models.scene import SceneData
+
+TILE = 256          # rays per tile (one grid program)
+MAX_TRI_LIST = 32   # cluster-list capacity before bitmask fallback
+MAX_SPH_LIST = 8
+MISS = jnp.int32(-1)
+_BIG = jnp.float32(1e18)
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: conservative tile -> cluster mask (dense jnp)
+# ---------------------------------------------------------------------------
+
+def _interval_mul(alo, ahi, blo, bhi):
+    p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+    lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+    hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+    return lo, hi
+
+
+def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
+    """(nt, C) conservative bool: could any tile ray hit this cluster box?
+
+    origin/dirs: (R, 3); active: (R,) bool or None; cmin/cmax: (C, 3);
+    t_hi: per-ray conservative upper bound on useful t ((R,) or None).
+    """
+    origin = jax.lax.stop_gradient(origin)
+    dirs = jax.lax.stop_gradient(dirs)
+    r = dirs.shape[0]
+    nt = r // tile
+    o = origin.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    if active is None:
+        o_lo = o.min(1); o_hi = o.max(1)
+        d_lo = d.min(1); d_hi = d.max(1)
+        cap = None if t_hi is None else t_hi.reshape(nt, tile).max(1)
+    else:
+        act = active.reshape(nt, tile, 1)
+        big = jnp.float32(jnp.inf)
+        o_lo = jnp.where(act, o, big).min(1)
+        o_hi = jnp.where(act, o, -big).max(1)
+        d_lo = jnp.where(act, d, big).min(1)
+        d_hi = jnp.where(act, d, -big).max(1)
+        none_active = ~active.reshape(nt, tile).any(1, keepdims=True)
+        # a fully-inactive tile gets a degenerate point interval at 0
+        o_lo = jnp.where(none_active, 0.0, o_lo); o_hi = jnp.where(none_active, 0.0, o_hi)
+        d_lo = jnp.where(none_active, 1.0, d_lo); d_hi = jnp.where(none_active, 1.0, d_hi)
+        if t_hi is None:
+            cap = None
+        else:
+            cap = jnp.where(
+                active.reshape(nt, tile), t_hi.reshape(nt, tile), -jnp.inf
+            ).max(1)
+            cap = jnp.where(none_active[:, 0], 0.0, cap)
+
+    # reciprocal-direction interval per tile/axis (finite sentinel for the
+    # sign-crossing case so products stay NaN-free)
+    crosses = (d_lo <= 0.0) & (d_hi >= 0.0)
+    i_lo = jnp.where(crosses, -_BIG, 1.0 / d_hi)
+    i_hi = jnp.where(crosses, _BIG, 1.0 / d_lo)
+
+    # numerator intervals vs every cluster: (nt, C, 3)
+    n1_lo = cmin[None] - o_hi[:, None]; n1_hi = cmin[None] - o_lo[:, None]
+    n2_lo = cmax[None] - o_hi[:, None]; n2_hi = cmax[None] - o_lo[:, None]
+    il = i_lo[:, None]; ih = i_hi[:, None]
+    t1_lo, t1_hi = _interval_mul(n1_lo, n1_hi, il, ih)
+    t2_lo, t2_hi = _interval_mul(n2_lo, n2_hi, il, ih)
+    near_lo = jnp.minimum(t1_lo, t2_lo)   # lower bound of per-ray slab entry
+    far_hi = jnp.maximum(t1_hi, t2_hi)    # upper bound of per-ray slab exit
+    entry_lo = near_lo.max(-1)            # (nt, C)
+    exit_hi = far_hi.min(-1)
+    hit = (entry_lo <= exit_hi) & (exit_hi >= 0.0)
+    if cap is not None:
+        hit &= entry_lo <= cap[:, None]
+    return hit
+
+
+def _compact(hit, max_list: int):
+    """hit (nt, C) bool -> (words (nt*W,) i32, ids (nt*max_list,) i32,
+    counts (nt,) i32).  ids holds the first max_list set clusters in
+    ascending id order; counts is UNclamped so the kernel can detect
+    overflow and fall back to scanning the bitmask."""
+    nt, c = hit.shape
+    counts = hit.sum(1).astype(jnp.int32)
+    k = min(max_list, c)
+    keys = jnp.where(hit, jnp.int32(c) - jnp.arange(c, dtype=jnp.int32), 0)
+    _, ids = jax.lax.top_k(keys, k)   # descending keys == ascending ids
+    ids = ids.astype(jnp.int32)
+    if k < max_list:
+        ids = jnp.pad(ids, ((0, 0), (0, max_list - k)))
+    w = -(-c // 32)
+    pad = w * 32 - c
+    hp = jnp.pad(hit, ((0, 0), (0, pad))) if pad else hit
+    weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+    words = (hp.reshape(nt, w, 32).astype(jnp.int32) * weights[None, None]).sum(-1)
+    return words.reshape(-1).astype(jnp.int32), ids.reshape(-1), counts
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: dense per-tile cluster intersection (Pallas)
+# ---------------------------------------------------------------------------
+
+def _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri: int):
+    """Wald-form test of one 128-triangle cluster vs the ray tile.
+    Returns (t, ok) of shape (TILE, CLUSTER)."""
+    row = lambda j: tri_ref[j, pl.ds(s, CLUSTER)][None, :]  # (1, CLUSTER)
+    nx, ny, nz = row(0), row(1), row(2)
+    w1x, w1y, w1z = row(3), row(4), row(5)
+    w2x, w2y, w2z = row(6), row(7), row(8)
+    naa, w1aa, w2aa = row(9), row(10), row(11)
+    nd = dx * nx + dy * ny + dz * nz
+    no = ox * nx + oy * ny + oz * nz
+    t = (naa - no) / nd
+    beta = (ox * w1x + oy * w1y + oz * w1z) + t * (dx * w1x + dy * w1y + dz * w1z) - w1aa
+    gamma = (ox * w2x + oy * w2y + oz * w2z) + t * (dx * w2x + dy * w2y + dz * w2z) - w2aa
+    alpha = 1.0 - beta - gamma
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
+    ok = (
+        (alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0) & (t >= 0.0)
+        & ((s + lane) < n_tri)
+    )
+    return t, ok
+
+
+def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
+    """Quadratic test of one 128-sphere cluster (reference quirk: reports
+    the smaller root even when negative, raytracer.cpp:82-92)."""
+    row = lambda j: sph_ref[j, pl.ds(s, CLUSTER)][None, :]
+    cx, cy, cz, rad = row(0), row(1), row(2), row(3)
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a_q = dx * dx + dy * dy + dz * dz                      # (TILE, 1)
+    b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b_q - sq) / (2.0 * a_q)
+    t2 = (-b_q + sq) / (2.0 * a_q)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
+    ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & ((s + lane) < n_sph)
+    return t1, ok
+
+
+def _load_rays(o_ref, d_ref):
+    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
+    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+    return ox, oy, oz, dx, dy, dz
+
+
+def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
+                    wpt: int, body):
+    """Run `body(cluster_id)` for every candidate cluster of tile i.
+
+    Fast path: iterate the compacted id list (count entries).  Fallback
+    (count > max_list): scan all clusters, testing the bitmask."""
+    n = c_ref[i]
+
+    @pl.when(n <= max_list)
+    def _():
+        def from_list(k, _):
+            body(l_ref[i * max_list + k])
+            return 0
+        jax.lax.fori_loop(0, n, from_list, 0)
+
+    @pl.when(n > max_list)
+    def _():
+        def from_bits(k, _):
+            bit = (w_ref[i * wpt + (k >> 5)] >> (k & 31)) & 1
+
+            @pl.when(bit != 0)
+            def _():
+                body(k)
+
+            return 0
+        jax.lax.fori_loop(0, n_clusters, from_bits, 0)
+
+
+def _closest_kernel(
+    tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref,   # scalar prefetch (SMEM)
+    o_ref, d_ref, tri_ref, sph_ref,                   # VMEM inputs
+    bt_out, bs_out,                                   # VMEM outputs
+    bt, bs,                                           # VMEM scratch
+    *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
+):
+    i = pl.program_id(0)
+    ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref)
+    bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
+    bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
+
+    def tri_body(k):
+        s = k * CLUSTER
+        t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
+        t = jnp.where(ok, t, jnp.inf)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+        upd = tmin < bt[:]
+        bt[:] = jnp.where(upd, tmin, bt[:])
+        bs[:] = jnp.where(upd, s + j, bs[:])
+
+    def sph_body(k):
+        s = k * CLUSTER
+        t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
+        t = jnp.where(ok, t, jnp.inf)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+        # strict < keeps triangles on exact ties (leaf order,
+        # raytracer.cpp:199-216)
+        upd = tmin < bt[:]
+        bt[:] = jnp.where(upd, tmin, bt[:])
+        bs[:] = jnp.where(upd, pt + s + j, bs[:])
+
+    _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
+    _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
+    bt_out[:] = bt[:]
+    bs_out[:] = bs[:]
+
+
+def _any_kernel(
+    tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref,
+    o_ref, d_ref, tmax_ref, tri_ref, sph_ref,
+    found_out,
+    fnd,
+    *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
+):
+    i = pl.program_id(0)
+    ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref)
+    tmax = tmax_ref[:, 0:1]
+    fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
+
+    def tri_body(k):
+        s = k * CLUSTER
+        t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
+        hit = ok & (t < tmax)
+        fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+
+    def sph_body(k):
+        s = k * CLUSTER
+        t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
+        hit = ok & (t < tmax)
+        fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+
+    _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
+    _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
+    found_out[:] = fnd[:]
+
+
+def _common_dims(dirs, tri_dat, sph_dat):
+    r = dirs.shape[0]
+    nt = r // TILE
+    pt = tri_dat.shape[1]
+    ps = sph_dat.shape[1]
+    return r, nt, pt, pt // CLUSTER, ps, ps // CLUSTER
+
+
+@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
+def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
+                          n_tri: int, n_sph: int):
+    r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
+    tw, tl, tc = _compact(thit, MAX_TRI_LIST)
+    sw, sl, sc = _compact(shit, MAX_SPH_LIST)
+    wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
+    kernel = functools.partial(
+        _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
+        wt=wt, ws=ws,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 1), jnp.float32),
+            pltpu.VMEM((TILE, 1), jnp.int32),
+        ],
+    )
+    bt, bs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tw, tl, tc, sw, sl, sc, origin, dirs, tri_dat, sph_dat)
+    return bt[:, 0], bs[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
+def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
+                      n_tri: int, n_sph: int):
+    r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
+    tw, tl, tc = _compact(thit, MAX_TRI_LIST)
+    sw, sl, sc = _compact(shit, MAX_SPH_LIST)
+    wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
+    kernel = functools.partial(
+        _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
+        wt=wt, ws=ws,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.int32)],
+    )
+    found = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        interpret=_interpret(),
+    )(tw, tl, tc, sw, sl, sc, origin, dirs, t_max, tri_dat, sph_dat)
+    return found[:, 0] != 0
+
+
+# ---------------------------------------------------------------------------
+# Public engine entry points
+# ---------------------------------------------------------------------------
+
+def _slot_to_prim(cset: ClusterSet, slot):
+    pt = cset.tri_dat.shape[1]
+    is_tri = slot < pt
+    tri_id = cset.tri_slot[jnp.clip(slot, 0, pt - 1)]
+    ps = cset.sph_dat.shape[1]
+    sph_id = cset.sph_slot[jnp.clip(slot - pt, 0, ps - 1)]
+    prim = jnp.where(is_tri, tri_id, sph_id)
+    return jnp.where(slot < 0, MISS, prim)
+
+
+def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
+                    active=None):
+    """Closest hit over the tiled wavefront. Returns global prim ids (R,)."""
+    del data  # geometry lives in cset
+    origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
+    dirs = jax.lax.stop_gradient(dirs)
+    thit = tile_cluster_mask(
+        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
+    )
+    shit = tile_cluster_mask(
+        origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
+    )
+    _, slot = _cluster_closest_call(
+        thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
+        cset.n_tri, cset.n_sph,
+    )
+    return _slot_to_prim(cset, slot)
+
+
+def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
+                active=None):
+    """Shadow any-hit: True where some accepted hit has t < t_max."""
+    del data
+    origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
+    dirs = jax.lax.stop_gradient(dirs)
+    t_max = jax.lax.stop_gradient(t_max)
+    thit = tile_cluster_mask(
+        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, t_max, TILE
+    )
+    shit = tile_cluster_mask(
+        origin, dirs, active, cset.sph_cmin, cset.sph_cmax, t_max, TILE
+    )
+    return _cluster_any_call(
+        thit, shit, origin, dirs, t_max[:, None],
+        cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph,
+    )

@@ -124,11 +124,17 @@ def shade_local(
 ):
     """Ambient + per-light diffuse/specular for the current wavefront.
 
-    occluded_fn(org, sdir, t_max) -> (R,) bool runs the shadow any-hit.
+    occluded_fn(org, sdir, t_max, mask) -> (R,) bool runs the shadow
+    any-hit; `mask` marks the lanes whose result is consumed (engines may
+    return garbage on unmasked lanes).
     Returns (R, 3) local radiance (zero on miss lanes).
     """
     amb = data.mat_ambient[h.mat] * data.ambient_light[None, :]
     color = jnp.where(h.hit[:, None], amb, 0.0)
+    nl = meta.n_lights
+    if nl == 0:
+        return color
+    r = dirs.shape[0]
 
     d_unit = normalize(dirs)
     n_unit = normalize(h.normal)  # already unit; matches :414's re-normalize
@@ -136,31 +142,38 @@ def shade_local(
     specular = data.mat_specular[h.mat]
     phong = data.mat_phong[h.mat]
 
-    for li in range(data.light_pos.shape[0]):
-        if li >= meta.n_lights:
-            break
-        lp = data.light_pos[li]
-        lint = data.light_int[li]
-        to_light_off = lp[None, :] - h.offset
-        light_dist = jnp.linalg.norm(to_light_off, axis=-1)
-        sdir = to_light_off / light_dist[:, None]
-        sdir_real = normalize(lp[None, :] - h.point)
+    # All lights at once: ONE batched shadow wavefront of nl*r rays
+    # (light-major so each light's segment keeps the rays' tile coherence),
+    # then shading vectorized over the light axis.  Light count is static.
+    lp = data.light_pos[:nl]          # (L, 3)
+    lint = data.light_int[:nl]        # (L, 3)
+    to_off = lp[None, :, :] - h.offset[:, None, :]          # (R, L, 3)
+    light_dist = jnp.linalg.norm(to_off, axis=-1)           # (R, L)
+    sdir = to_off / light_dist[..., None]
+    sdir_real = normalize(lp[None, :, :] - h.point[:, None, :])
 
-        occ = occluded_fn(h.offset, sdir, light_dist)
-        lit = h.hit & ~occ
+    org_flat = jnp.broadcast_to(h.offset[:, None, :], (r, nl, 3))
+    occ = occluded_fn(
+        org_flat.transpose(1, 0, 2).reshape(nl * r, 3),
+        sdir.transpose(1, 0, 2).reshape(nl * r, 3),
+        light_dist.T.reshape(nl * r),
+        jnp.broadcast_to(h.hit[None, :], (nl, r)).reshape(nl * r),
+    )
+    lit = h.hit[:, None] & ~occ.reshape(nl, r).T            # (R, L)
 
-        cos_theta = dot(sdir_real, h.normal)
-        irr = lint[None, :] / (light_dist * light_dist)[:, None]
+    cos_theta = dot(sdir_real, h.normal[:, None, :])        # (R, L)
+    irr = lint[None] / (light_dist * light_dist)[..., None]  # (R, L, 3)
 
-        # specular gate: acos in degrees with the reference's 3.1415
-        theta_deg = jax.lax.stop_gradient(jnp.arccos(cos_theta) * RAD_TO_DEG)
-        gate = theta_deg <= SPEC_GATE_DEG  # NaN (cos>1) → False, like C acos
-        cos_h = jnp.maximum(0.0, dot(n_unit, normalize(sdir - d_unit)))
-        spec = specular * jnp.power(cos_h, phong)[:, None] * irr
-        diff = diffuse * jnp.clip(cos_theta, 0.0, 1.0)[:, None] * irr
-
-        contrib = diff + jnp.where(gate[:, None], spec, 0.0)
-        color = color + jnp.where(lit[:, None], contrib, 0.0)
+    # specular gate: acos in degrees with the reference's 3.1415
+    theta_deg = jax.lax.stop_gradient(jnp.arccos(cos_theta) * RAD_TO_DEG)
+    gate = theta_deg <= SPEC_GATE_DEG  # NaN (cos>1) → False, like C acos
+    cos_h = jnp.maximum(
+        0.0, dot(n_unit[:, None, :], normalize(sdir - d_unit[:, None, :]))
+    )
+    spec = specular[:, None] * jnp.power(cos_h, phong[:, None])[..., None] * irr
+    diff = diffuse[:, None] * jnp.clip(cos_theta, 0.0, 1.0)[..., None] * irr
+    contrib = diff + jnp.where(gate[..., None], spec, 0.0)
+    color = color + jnp.where(lit[..., None], contrib, 0.0).sum(axis=1)
     return color
 
 

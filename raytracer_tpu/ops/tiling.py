@@ -1,0 +1,38 @@
+"""Pixel-tile ray ordering.
+
+The cluster engine's culling quality depends on rays within a TILE-sized
+contiguous run being spatially coherent.  Row-major order makes a 256-ray
+run a 1-pixel-tall sliver; re-ordering the flattened pixel axis into
+square blocks (16x16 for TILE=256) makes every run a compact frustum.
+
+The permutation is host-side numpy, computed once per (H, W) and applied
+as a device gather on ray directions; the inverse gather restores image
+order on the radiance output.  Shading is elementwise over rays, so the
+permutation is semantically invisible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def block_permutation(h: int, w: int, bh: int, bw: int):
+    """(perm, inv) int32 arrays of length h*w.
+
+    ``perm[i]`` = row-major pixel index of the i-th ray in block order;
+    ``inv`` satisfies ``x[perm][inv] == x``.  Handles H/W not divisible by
+    the block size (edge blocks are partial, order stays a permutation).
+    """
+    rows = np.arange(h)
+    cols = np.arange(w)
+    rr, cc = np.meshgrid(rows, cols, indexing="ij")
+    key = (
+        (rr // bh).astype(np.int64) * ((w + bw - 1) // bw) + (cc // bw)
+    ) * (h * w) + (rr % bh) * bw + (cc % bw)
+    perm = np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(h * w, dtype=np.int32)
+    return perm, inv

@@ -41,14 +41,19 @@ from raytracer_tpu.ops.intersect import aabb_intersect, sphere_intersect, tri_in
 MISS = jnp.int32(-1)
 
 
-def _tri_chunk_test(data: SceneData, origin, dirs, start, size: int):
+def _gather_tris(data: SceneData):
+    """Hoist the vertex gather out of the per-chunk loop: one (T, 3)x3
+    gather per trace instead of one per scan step (the in-loop gather
+    defeats XLA's fusion and was a ~50x slowdown on TPU)."""
+    v = data.tri_v
+    return data.vertices[v[:, 0]], data.vertices[v[:, 1]], data.vertices[v[:, 2]]
+
+
+def _tri_chunk_test(tri_abc, tri_valid, origin, dirs, start, size: int):
     """Test rays against triangles [start, start+size) (start may be traced).
     Returns (t, ok, ids) of shape (R, size) / (size,)."""
-    v = jax.lax.dynamic_slice_in_dim(data.tri_v, start, size, axis=0)
-    valid = jax.lax.dynamic_slice_in_dim(data.tri_valid, start, size, axis=0)
-    a = data.vertices[v[:, 0]]
-    b = data.vertices[v[:, 1]]
-    c = data.vertices[v[:, 2]]
+    a, b, c = (jax.lax.dynamic_slice_in_dim(x, start, size, axis=0) for x in tri_abc)
+    valid = jax.lax.dynamic_slice_in_dim(tri_valid, start, size, axis=0)
     t, ok = tri_intersect(
         origin[..., None, :], dirs[..., None, :], a[None], b[None], c[None]
     )
@@ -56,11 +61,10 @@ def _tri_chunk_test(data: SceneData, origin, dirs, start, size: int):
     return t, ok & valid[None], ids
 
 
-def _sph_chunk_test(data: SceneData, origin, dirs, start, size: int):
-    cvid = jax.lax.dynamic_slice_in_dim(data.sphere_cvid, start, size, axis=0)
+def _sph_chunk_test(data: SceneData, sph_center, origin, dirs, start, size: int):
+    center = jax.lax.dynamic_slice_in_dim(sph_center, start, size, axis=0)
     rad = jax.lax.dynamic_slice_in_dim(data.sphere_rad, start, size, axis=0)
     valid = jax.lax.dynamic_slice_in_dim(data.sphere_valid, start, size, axis=0)
-    center = data.vertices[cvid]
     t, ok = sphere_intersect(
         origin[..., None, :], dirs[..., None, :], center[None], rad[None]
     )
@@ -104,17 +108,21 @@ def brute_closest(data: SceneData, origin, dirs, chunk: int = 512):
         upd = tj < best_t
         return (jnp.where(upd, tj, best_t), jnp.where(upd, ids[j], best_p))
 
+    tri_abc = _gather_tris(data)
     starts, csize = _chunk_starts(data.tri_v.shape[0], chunk)
     if starts is not None:
         def tri_step(best, start):
-            t, ok, ids = _tri_chunk_test(data, origin, dirs, start, csize)
+            t, ok, ids = _tri_chunk_test(
+                tri_abc, data.tri_valid, origin, dirs, start, csize
+            )
             return chunk_min(best, t, ok, ids), None
         best, _ = jax.lax.scan(tri_step, best, starts)
 
+    sph_center = data.vertices[data.sphere_cvid]
     starts, csize = _chunk_starts(data.sphere_cvid.shape[0], chunk)
     if starts is not None:
         def sph_step(best, start):
-            t, ok, ids = _sph_chunk_test(data, origin, dirs, start, csize)
+            t, ok, ids = _sph_chunk_test(data, sph_center, origin, dirs, start, csize)
             return chunk_min(best, t, ok, ids), None
         best, _ = jax.lax.scan(sph_step, best, starts)
     return best[1]
@@ -129,17 +137,21 @@ def brute_any(data: SceneData, origin, dirs, t_max, chunk: int = 512):
     r = dirs.shape[0]
     found = jnp.zeros((r,), dtype=bool)
 
+    tri_abc = _gather_tris(data)
     starts, csize = _chunk_starts(data.tri_v.shape[0], chunk)
     if starts is not None:
         def tri_step(found, start):
-            t, ok, _ = _tri_chunk_test(data, origin, dirs, start, csize)
+            t, ok, _ = _tri_chunk_test(
+                tri_abc, data.tri_valid, origin, dirs, start, csize
+            )
             return found | jnp.any(ok & (t < t_max[:, None]), axis=-1), None
         found, _ = jax.lax.scan(tri_step, found, starts)
 
+    sph_center = data.vertices[data.sphere_cvid]
     starts, csize = _chunk_starts(data.sphere_cvid.shape[0], chunk)
     if starts is not None:
         def sph_step(found, start):
-            t, ok, _ = _sph_chunk_test(data, origin, dirs, start, csize)
+            t, ok, _ = _sph_chunk_test(data, sph_center, origin, dirs, start, csize)
             return found | jnp.any(ok & (t < t_max[:, None]), axis=-1), None
         found, _ = jax.lax.scan(sph_step, found, starts)
     return found
@@ -238,16 +250,26 @@ def bvh_any(data: SceneData, bvh: BVH, origin, dirs, t_max):
     return done
 
 
-def closest_hit(data: SceneData, origin, dirs, bvh: BVH | None, engine: str):
-    """Dispatch closest hit. engine in {'brute', 'bvh'}."""
+def closest_hit(data: SceneData, origin, dirs, accel, engine: str, active=None):
+    """Dispatch closest hit. engine in {'brute', 'bvh', 'cluster'}."""
     if engine == "bvh":
-        assert bvh is not None, "bvh engine requires a built BVH"
-        return bvh_closest(data, bvh, origin, dirs)
+        assert accel is not None, "bvh engine requires a built BVH"
+        return bvh_closest(data, accel, origin, dirs)
+    if engine == "cluster":
+        from raytracer_tpu.ops.cluster_trace import cluster_closest
+
+        assert accel is not None, "cluster engine requires a built ClusterSet"
+        return cluster_closest(data, accel, origin, dirs, active=active)
     return brute_closest(data, origin, dirs)
 
 
-def any_hit(data: SceneData, origin, dirs, t_max, bvh: BVH | None, engine: str):
+def any_hit(data: SceneData, origin, dirs, t_max, accel, engine: str, active=None):
     if engine == "bvh":
-        assert bvh is not None, "bvh engine requires a built BVH"
-        return bvh_any(data, bvh, origin, dirs, t_max)
+        assert accel is not None, "bvh engine requires a built BVH"
+        return bvh_any(data, accel, origin, dirs, t_max)
+    if engine == "cluster":
+        from raytracer_tpu.ops.cluster_trace import cluster_any
+
+        assert accel is not None, "cluster engine requires a built ClusterSet"
+        return cluster_any(data, accel, origin, dirs, t_max, active=active)
     return brute_any(data, origin, dirs, t_max)

@@ -31,7 +31,8 @@ def main(argv=None) -> None:
     ap.add_argument("--ssaa-mode", choices=["parity", "mean"], default="parity",
                     help="parity: uint8 truncating box filter like the "
                          "reference; mean: float mean before quantization")
-    ap.add_argument("--engine", choices=["auto", "brute", "bvh"], default="auto")
+    ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
+                    default="auto")
     ap.add_argument("--chunk", type=int, default=1 << 18,
                     help="rays per device dispatch")
     ap.add_argument("--out-dir", default=".", help="output directory")
@@ -43,7 +44,15 @@ def main(argv=None) -> None:
     data = jax.device_put(data)
 
     t0 = time.perf_counter()
-    bvh = jax.device_put(build_bvh(data, meta)) if args.engine != "brute" else None
+    accel = None
+    if args.engine != "brute":
+        bvh = build_bvh(data, meta)
+        if args.engine == "bvh":
+            accel = jax.device_put(bvh)
+        else:  # cluster (and auto's preferred accelerator)
+            from raytracer_tpu.models.clusters import build_clusters
+
+            accel = jax.device_put(build_clusters(data, meta, bvh))
     t1 = time.perf_counter()
     print(f"Planted trees in {t1 - t0:.3f} seconds.")
     if args.ssaa > 1:
@@ -56,7 +65,7 @@ def main(argv=None) -> None:
             print(f"Rendering {cam.image_name} "
                   f"({rcam.width}x{rcam.height}, engine={args.engine})...")
             t2 = time.perf_counter()
-            color = render_camera(data, meta, rcam, bvh=bvh, engine=args.engine,
+            color = render_camera(data, meta, rcam, bvh=accel, engine=args.engine,
                                   chunk=args.chunk)
             if args.ssaa > 1:
                 if args.ssaa_mode == "parity":

@@ -23,6 +23,24 @@ def write_ppm(filename: str, data: np.ndarray) -> None:
     if data.dtype != np.uint8:
         raise ValueError(f"expected uint8 image, got {data.dtype}")
     h, w, _ = data.shape
+
+    # fast path: the C++ writer (native/raytracer_native.cpp, byte-identical)
+    from raytracer_tpu.utils.native import load
+
+    lib = load()
+    if lib is not None:
+        import ctypes
+
+        cdata = np.ascontiguousarray(data)
+        rc = lib.rt_write_ppm(
+            filename.encode(),
+            cdata.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w, h,
+        )
+        if rc == 0:
+            return
+        raise OSError(f"native PPM writer failed for {filename}")
+
     flat = data.reshape(h, w * 3)
     with open(filename, "w") as f:
         f.write(f"P3\n{w} {h}\n255\n")
