@@ -27,22 +27,31 @@ BASELINE_RAYS_PER_S = 1440 * 720 / 0.452
 
 
 def main() -> None:
+    import jax.numpy as jnp
+
     from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.clusters import build_clusters
     from raytracer_tpu.models.scene import load_scene
     from raytracer_tpu.models.whitted import render_camera
 
     scene = SCENE if os.path.exists(SCENE) else FALLBACK
     data, meta = load_scene(scene)
+    bvh = build_bvh(data, meta)
+    accel = jax.device_put(build_clusters(data, meta, bvh))
     data = jax.device_put(data)
-    bvh = jax.device_put(build_bvh(data, meta))
     cam = meta.cameras[0]
 
     def run():
-        img = render_camera(data, meta, cam, bvh=bvh, engine="auto")
-        return np.asarray(img)
+        img = render_camera(
+            data, meta, cam, bvh=accel, engine="cluster", chunk=1 << 21
+        )
+        # sync via a 4-byte reduction: the tunneled dev box transfers at
+        # ~8 MB/s, which would otherwise swamp the timing with an artifact
+        # a colocated host never sees (the image itself stays on device)
+        return float(jnp.sum(img))
 
     run()  # compile + warm caches
-    n_rep = 3
+    n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
         run()

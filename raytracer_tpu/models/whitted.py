@@ -40,6 +40,7 @@ def render_rays(
     dirs,
     bvh=None,
     engine: str = "brute",
+    differentiable: bool = False,
 ):
     """Trace a wavefront of rays to radiance.
 
@@ -47,6 +48,9 @@ def render_rays(
       origin: (3,) or (R, 3) ray origins (eye position for primary rays).
       dirs:   (R, 3) ray directions (unnormalized is fine — and is what the
               camera produces, matching the reference's t-unit convention).
+      differentiable: when True, hit attributes are re-derived from scene
+        parameters (ops.shade.refine_hit) so gradients flow; when False
+        the cluster engine's fast kernel-side hit info is used directly.
     Returns:
       (R, 3) float32 radiance (pre-quantization).
     """
@@ -54,18 +58,33 @@ def render_rays(
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), dirs.shape)
     dirs = jnp.asarray(dirs, jnp.float32)
 
+    fast_hits = engine == "cluster" and not differentiable
+
     def bounce(carry):
         depth, color, throughput, active, cur_org, cur_dir = carry
-        prim = traverse.closest_hit(
-            data, cur_org, cur_dir, bvh, engine, active=active
-        )
-        prim = jnp.where(active, prim, traverse.MISS)
+        if fast_hits:
+            from raytracer_tpu.ops.cluster_trace import cluster_closest_hit
+            from raytracer_tpu.ops.shade import Hit
+
+            fhit, t, normal, mat, point, offset, prim = cluster_closest_hit(
+                bvh, cur_org, cur_dir, meta.shadow_eps, active=active
+            )
+            fhit = fhit & active
+            h = Hit(hit=fhit, t=t, normal=normal, mat=mat, point=point,
+                    offset=offset)
+            prim = jnp.where(active, prim, traverse.MISS)
+        else:
+            prim = traverse.closest_hit(
+                data, cur_org, cur_dir, bvh, engine, active=active
+            )
+            prim = jnp.where(active, prim, traverse.MISS)
 
         def occluded(org, sdir, t_max, mask):
             return traverse.any_hit(
                 data, org, sdir, t_max, bvh, engine, active=mask
             )
-        h = refine_hit(data, meta, cur_org, cur_dir, prim)
+        if not fast_hits:
+            h = refine_hit(data, meta, cur_org, cur_dir, prim)
 
         # depth-0 miss → background color; deeper misses stay black
         # (raytracer.cpp:442-449)
@@ -97,6 +116,16 @@ def render_rays(
         origin,
         dirs,
     )
+    if differentiable:
+        # reverse-mode AD cannot cross lax.while_loop; unroll via scan to
+        # the static bounce bound instead (no early exit)
+        def scan_bounce(carry, _):
+            return bounce(carry), None
+
+        (_, color, _, _, _, _), _ = jax.lax.scan(
+            scan_bounce, init, None, length=meta.max_depth + 1
+        )
+        return color
     # one traced bounce in a while_loop: graph size independent of
     # recursion depth AND early exit once every mirror path has died
     # (scenes routinely declare MaxRecursionDepth=6 with no mirrors at
@@ -105,9 +134,11 @@ def render_rays(
     return color
 
 
-@partial(jax.jit, static_argnames=("meta", "engine"))
-def _render_rays_jit(data, meta, origin, dirs, bvh, engine):
-    return render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine)
+@partial(jax.jit, static_argnames=("meta", "engine", "differentiable"))
+def _render_rays_jit(data, meta, origin, dirs, bvh, engine,
+                     differentiable=False):
+    return render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
+                       differentiable=differentiable)
 
 
 def render_camera(

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer_tpu.models.clusters import CLUSTER, ClusterSet
 from raytracer_tpu.models.scene import SceneData
 
-TILE = 256          # rays per tile (one grid program)
+TILE = 256          # rays per shortlist tile
+TPB = 8             # tiles per grid program (amortizes ~10us/program cost)
 MAX_TRI_LIST = 32   # cluster-list capacity before bitmask fallback
 MAX_SPH_LIST = 8
 MISS = jnp.int32(-1)
@@ -188,31 +189,55 @@ def _load_rays(o_ref, d_ref):
 
 
 def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
-                    wpt: int, body):
+                    wpt: int, body, keep_going=None):
     """Run `body(cluster_id)` for every candidate cluster of tile i.
 
     Fast path: iterate the compacted id list (count entries).  Fallback
-    (count > max_list): scan all clusters, testing the bitmask."""
+    (count > max_list): scan all clusters, testing the bitmask.  An
+    optional `keep_going()` predicate allows early termination (any-hit)."""
     n = c_ref[i]
 
     @pl.when(n <= max_list)
     def _():
-        def from_list(k, _):
-            body(l_ref[i * max_list + k])
-            return 0
-        jax.lax.fori_loop(0, n, from_list, 0)
+        if keep_going is None:
+            def from_list(k, _):
+                body(l_ref[i * max_list + k])
+                return 0
+            jax.lax.fori_loop(0, n, from_list, 0)
+        else:
+            def cond(k):
+                return (k < n) & keep_going()
+
+            def step(k):
+                body(l_ref[i * max_list + k])
+                return k + 1
+            jax.lax.while_loop(cond, step, 0)
 
     @pl.when(n > max_list)
     def _():
-        def from_bits(k, _):
-            bit = (w_ref[i * wpt + (k >> 5)] >> (k & 31)) & 1
+        if keep_going is None:
+            def from_bits(k, _):
+                bit = (w_ref[i * wpt + (k >> 5)] >> (k & 31)) & 1
 
-            @pl.when(bit != 0)
-            def _():
-                body(k)
+                @pl.when(bit != 0)
+                def _():
+                    body(k)
 
-            return 0
-        jax.lax.fori_loop(0, n_clusters, from_bits, 0)
+                return 0
+            jax.lax.fori_loop(0, n_clusters, from_bits, 0)
+        else:
+            def cond(k):
+                return (k < n_clusters) & keep_going()
+
+            def step(k):
+                bit = (w_ref[i * wpt + (k >> 5)] >> (k & 31)) & 1
+
+                @pl.when(bit != 0)
+                def _():
+                    body(k)
+
+                return k + 1
+            jax.lax.while_loop(cond, step, 0)
 
 
 def _closest_kernel(
@@ -222,37 +247,46 @@ def _closest_kernel(
     bt, bs,                                           # VMEM scratch
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
 ):
-    i = pl.program_id(0)
-    ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref)
-    bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
-    bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
+    base = pl.program_id(0) * TPB
 
-    def tri_body(k):
-        s = k * CLUSTER
-        t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
-        t = jnp.where(ok, t, jnp.inf)
-        tmin = jnp.min(t, axis=1, keepdims=True)
-        j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
-        upd = tmin < bt[:]
-        bt[:] = jnp.where(upd, tmin, bt[:])
-        bs[:] = jnp.where(upd, s + j, bs[:])
+    def subtile(p, _):
+        i = base + p
+        lo = p * TILE
+        ox, oy, oz, dx, dy, dz = _load_rays(
+            o_ref.at[pl.ds(lo, TILE), :], d_ref.at[pl.ds(lo, TILE), :]
+        )
+        bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
+        bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
 
-    def sph_body(k):
-        s = k * CLUSTER
-        t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
-        t = jnp.where(ok, t, jnp.inf)
-        tmin = jnp.min(t, axis=1, keepdims=True)
-        j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
-        # strict < keeps triangles on exact ties (leaf order,
-        # raytracer.cpp:199-216)
-        upd = tmin < bt[:]
-        bt[:] = jnp.where(upd, tmin, bt[:])
-        bs[:] = jnp.where(upd, pt + s + j, bs[:])
+        def tri_body(k):
+            s = k * CLUSTER
+            t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
+            t = jnp.where(ok, t, jnp.inf)
+            tmin = jnp.min(t, axis=1, keepdims=True)
+            j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+            upd = tmin < bt[:]
+            bt[:] = jnp.where(upd, tmin, bt[:])
+            bs[:] = jnp.where(upd, s + j, bs[:])
 
-    _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
-    _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
-    bt_out[:] = bt[:]
-    bs_out[:] = bs[:]
+        def sph_body(k):
+            s = k * CLUSTER
+            t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
+            t = jnp.where(ok, t, jnp.inf)
+            tmin = jnp.min(t, axis=1, keepdims=True)
+            j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+            # strict < keeps triangles on exact ties (leaf order,
+            # raytracer.cpp:199-216)
+            upd = tmin < bt[:]
+            bt[:] = jnp.where(upd, tmin, bt[:])
+            bs[:] = jnp.where(upd, pt + s + j, bs[:])
+
+        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
+        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
+        bt_out[pl.ds(lo, TILE), :] = bt[:]
+        bs_out[pl.ds(lo, TILE), :] = bs[:]
+        return 0
+
+    jax.lax.fori_loop(0, TPB, subtile, 0)
 
 
 def _any_kernel(
@@ -262,26 +296,41 @@ def _any_kernel(
     fnd,
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
 ):
-    i = pl.program_id(0)
-    ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref)
-    tmax = tmax_ref[:, 0:1]
-    fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
+    base = pl.program_id(0) * TPB
 
-    def tri_body(k):
-        s = k * CLUSTER
-        t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
-        hit = ok & (t < tmax)
-        fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+    def subtile(p, _):
+        i = base + p
+        lo = p * TILE
+        ox, oy, oz, dx, dy, dz = _load_rays(
+            o_ref.at[pl.ds(lo, TILE), :], d_ref.at[pl.ds(lo, TILE), :]
+        )
+        tmax = tmax_ref[pl.ds(lo, TILE), 0:1]
+        fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
 
-    def sph_body(k):
-        s = k * CLUSTER
-        t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
-        hit = ok & (t < tmax)
-        fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+        def tri_body(k):
+            s = k * CLUSTER
+            t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
+            hit = ok & (t < tmax)
+            fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
-    _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
-    _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
-    found_out[:] = fnd[:]
+        def sph_body(k):
+            s = k * CLUSTER
+            t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
+            hit = ok & (t < tmax)
+            fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+
+        def not_all_found():
+            # early exit: stop visiting clusters once every lane is occluded
+            return jnp.sum(fnd[:]) < TILE
+
+        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
+                        tri_body, keep_going=not_all_found)
+        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
+                        sph_body, keep_going=not_all_found)
+        found_out[pl.ds(lo, TILE), :] = fnd[:]
+        return 0
+
+    jax.lax.fori_loop(0, TPB, subtile, 0)
 
 
 def _common_dims(dirs, tri_dat, sph_dat):
@@ -303,18 +352,19 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
+    blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(nt,),
+        grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE, 1), jnp.float32),
@@ -344,17 +394,18 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
         _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
+    blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(nt,),
+        grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TILE, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.int32)],
     )
     found = pl.pallas_call(
@@ -380,12 +431,32 @@ def _slot_to_prim(cset: ClusterSet, slot):
     return jnp.where(slot < 0, MISS, prim)
 
 
+def _pad_rays(origin, dirs, *extras):
+    """Pad the ray axis to a multiple of TILE*TPB (kernel program block).
+    Extra per-ray arrays are padded with zeros. Returns (r, padded...)."""
+    r = dirs.shape[0]
+    pad = (-r) % (TILE * TPB)
+    if pad == 0:
+        return (r, origin, dirs) + extras
+    origin = jnp.concatenate([origin, jnp.broadcast_to(origin[-1:], (pad, 3))], 0)
+    dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))], 0)
+    out = []
+    for e in extras:
+        if e is None:
+            out.append(None)
+        else:
+            z = jnp.zeros((pad,) + e.shape[1:], e.dtype)
+            out.append(jnp.concatenate([e, z], 0))
+    return (r, origin, dirs) + tuple(out)
+
+
 def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
                     active=None):
     """Closest hit over the tiled wavefront. Returns global prim ids (R,)."""
     del data  # geometry lives in cset
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
+    r, origin, dirs, active = _pad_rays(origin, dirs, active)
     thit = tile_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
     )
@@ -396,7 +467,52 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
         thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
         cset.n_tri, cset.n_sph,
     )
-    return _slot_to_prim(cset, slot)
+    return _slot_to_prim(cset, slot)[:r]
+
+
+def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
+                        active=None):
+    """Closest hit WITH shading info, via the kernel's (t, slot) and the
+    per-slot tables — the fast forward path (no per-primitive re-derive).
+
+    Returns (hit, t, normal, mat, point, offset, prim).  Non-differentiable
+    (kernel t is the authority); training uses ops.shade.refine_hit.
+    """
+    origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
+    dirs = jax.lax.stop_gradient(dirs)
+    r, origin, dirs, active = _pad_rays(origin, dirs, active)
+    thit = tile_cluster_mask(
+        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
+    )
+    shit = tile_cluster_mask(
+        origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
+    )
+    t, slot = _cluster_closest_call(
+        thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
+        cset.n_tri, cset.n_sph,
+    )
+    t, slot = t[:r], slot[:r]
+    origin, dirs = origin[:r], dirs[:r]
+    hit = slot >= 0
+    sslot = jnp.where(hit, slot, 0)
+    pt = cset.tri_dat.shape[1]
+    aux = cset.slot_aux[sslot]          # tri: unit normal; sph: center
+    rad = cset.slot_rad[sslot]
+    mat = jnp.where(hit, cset.slot_mat[sslot], 0)
+    t = jnp.where(hit, t, 1.0)
+    point = origin + t[:, None] * dirs
+    is_tri = sslot < pt
+    sph_lane = hit & ~is_tri
+    safe_rad = jnp.where(sph_lane, jnp.maximum(rad, 1e-30), 1.0)
+    n_raw = jnp.where(
+        sph_lane[:, None], (point - aux) / safe_rad[:, None],
+        jnp.array([0.0, 0.0, 1.0]),
+    )
+    n_sphere = n_raw / jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    normal = jnp.where(sph_lane[:, None], n_sphere, aux)
+    normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0]))
+    offset = point + normal * jnp.float32(shadow_eps)
+    return hit, t, normal, mat, point, offset, _slot_to_prim(cset, slot)
 
 
 def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
@@ -406,6 +522,7 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
     t_max = jax.lax.stop_gradient(t_max)
+    r, origin, dirs, active, t_max = _pad_rays(origin, dirs, active, t_max)
     thit = tile_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, t_max, TILE
     )
@@ -415,4 +532,4 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     return _cluster_any_call(
         thit, shit, origin, dirs, t_max[:, None],
         cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph,
-    )
+    )[:r]

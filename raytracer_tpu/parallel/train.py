@@ -63,7 +63,8 @@ def apply_params(data: SceneData, params: dict) -> SceneData:
 def image_loss(params, data, meta, origin, dirs, target, bvh, engine):
     """Mean squared error between rendered radiance and target (R, 3)."""
     color = render_rays(
-        apply_params(data, params), meta, origin, dirs, bvh=bvh, engine=engine
+        apply_params(data, params), meta, origin, dirs, bvh=bvh, engine=engine,
+        differentiable=True,
     )
     return jnp.mean((color - target) ** 2)
 

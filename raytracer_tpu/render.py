@@ -40,6 +40,9 @@ def main(argv=None) -> None:
                     help="render repetitions for benchmarking")
     args = ap.parse_args(argv)
 
+    import os
+
+    os.makedirs(args.out_dir, exist_ok=True)
     data, meta = load_scene(args.scene)
     data = jax.device_put(data)
 
