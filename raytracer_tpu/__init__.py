@@ -21,6 +21,7 @@ Package layout
 
 from raytracer_tpu.models.scene import SceneData, SceneMeta, Camera, load_scene
 from raytracer_tpu.models.bvh import BVH, build_bvh
+from raytracer_tpu.models.clusters import ClusterSet, build_clusters
 from raytracer_tpu.models.whitted import render_rays, render_camera
 
 __all__ = [
@@ -30,6 +31,8 @@ __all__ = [
     "load_scene",
     "BVH",
     "build_bvh",
+    "ClusterSet",
+    "build_clusters",
     "render_rays",
     "render_camera",
 ]

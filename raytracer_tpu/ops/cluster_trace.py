@@ -251,10 +251,7 @@ def _closest_kernel(
 
     def subtile(p, _):
         i = base + p
-        lo = p * TILE
-        ox, oy, oz, dx, dy, dz = _load_rays(
-            o_ref.at[pl.ds(lo, TILE), :], d_ref.at[pl.ds(lo, TILE), :]
-        )
+        ox, oy, oz, dx, dy, dz = _load_rays(o_ref.at[p], d_ref.at[p])
         bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
         bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
 
@@ -282,8 +279,8 @@ def _closest_kernel(
 
         _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
-        bt_out[pl.ds(lo, TILE), :] = bt[:]
-        bs_out[pl.ds(lo, TILE), :] = bs[:]
+        bt_out[p] = bt[:]
+        bs_out[p] = bs[:]
         return 0
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -300,11 +297,8 @@ def _any_kernel(
 
     def subtile(p, _):
         i = base + p
-        lo = p * TILE
-        ox, oy, oz, dx, dy, dz = _load_rays(
-            o_ref.at[pl.ds(lo, TILE), :], d_ref.at[pl.ds(lo, TILE), :]
-        )
-        tmax = tmax_ref[pl.ds(lo, TILE), 0:1]
+        ox, oy, oz, dx, dy, dz = _load_rays(o_ref.at[p], d_ref.at[p])
+        tmax = tmax_ref[p, :, 0:1]
         fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
 
         def tri_body(k):
@@ -327,7 +321,7 @@ def _any_kernel(
                         tri_body, keep_going=not_all_found)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
                         sph_body, keep_going=not_all_found)
-        found_out[pl.ds(lo, TILE), :] = fnd[:]
+        found_out[p] = fnd[:]
         return 0
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -352,19 +346,20 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
-    blk = TPB * TILE
+    o3 = origin.reshape(nt, TILE, 3)
+    d3 = dirs.reshape(nt, TILE, 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE, 1), jnp.float32),
@@ -375,12 +370,12 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nt, TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nt, TILE, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tw, tl, tc, sw, sl, sc, origin, dirs, tri_dat, sph_dat)
-    return bt[:, 0], bs[:, 0]
+    )(tw, tl, tc, sw, sl, sc, o3, d3, tri_dat, sph_dat)
+    return bt.reshape(r), bs.reshape(r)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
@@ -394,27 +389,29 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
         _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
-    blk = TPB * TILE
+    o3 = origin.reshape(nt, TILE, 3)
+    d3 = dirs.reshape(nt, TILE, 3)
+    tm3 = t_max.reshape(nt, TILE, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((blk, 3), lambda i, *_: (i, 0)),
-            pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((blk, 1), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.int32)],
     )
     found = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nt, TILE, 1), jnp.int32),
         interpret=_interpret(),
-    )(tw, tl, tc, sw, sl, sc, origin, dirs, t_max, tri_dat, sph_dat)
-    return found[:, 0] != 0
+    )(tw, tl, tc, sw, sl, sc, o3, d3, tm3, tri_dat, sph_dat)
+    return found.reshape(r) != 0
 
 
 # ---------------------------------------------------------------------------

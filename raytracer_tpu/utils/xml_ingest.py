@@ -65,14 +65,20 @@ def parse_xml(path: str) -> dict:
 
     materials = []
     for mat in root.find("Materials").findall("Material"):
+        def mtext(tag: str, default: str) -> str:
+            el = mat.find(tag)
+            return el.text if el is not None and el.text is not None else default
+
         materials.append(
             {
                 "is_mirror": mat.get("type") == "mirror",
-                "ambient": _floats(mat.find("AmbientReflectance").text),
-                "diffuse": _floats(mat.find("DiffuseReflectance").text),
-                "specular": _floats(mat.find("SpecularReflectance").text),
-                "mirror": _floats(mat.find("MirrorReflectance").text),
-                "phong": float(mat.find("PhongExponent").text),
+                "ambient": _floats(mtext("AmbientReflectance", "0 0 0")),
+                "diffuse": _floats(mtext("DiffuseReflectance", "0 0 0")),
+                "specular": _floats(mtext("SpecularReflectance", "0 0 0")),
+                # all bundled scenes specify MirrorReflectance explicitly;
+                # tolerate its absence for non-mirror materials
+                "mirror": _floats(mtext("MirrorReflectance", "0 0 0")),
+                "phong": float(mtext("PhongExponent", "1")),
             }
         )
 
