@@ -41,6 +41,9 @@ TILE = 256          # rays per shortlist tile
 TPB = 8             # tiles per grid program (amortizes ~10us/program cost)
 MAX_TRI_LIST = 32   # cluster-list capacity before bitmask fallback
 MAX_SPH_LIST = 8
+MAX_NT = 2048       # tiles per pallas_call: bounds the SMEM-resident
+                    # shortlists (~0.4 MB of the 1 MB budget); larger
+                    # wavefronts run as sequential in-graph segments
 MISS = jnp.int32(-1)
 _BIG = jnp.float32(1e18)
 
@@ -182,10 +185,20 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
     return t1, ok
 
 
-def _load_rays(o_ref, d_ref):
-    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
-    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
-    return ox, oy, oz, dx, dy, dz
+def _load_rays(o_ref, d_ref, p):
+    """Load subtile p's ray components as (TILE, 1) sublane vectors.
+
+    Rays arrive transposed (3, R) so the dynamic subtile slice runs along
+    the 128-aligned lane dimension (Mosaic rejects dynamic views whose
+    minor dim is the unaligned literal 3); the lane->sublane relayout of
+    six (TILE,) vectors is paid once per subtile."""
+    lo = pl.multiple_of(p * TILE, TILE)
+
+    def comp(ref, c):
+        return ref[c, pl.ds(lo, TILE)][:, None]  # (TILE, 1)
+
+    return (comp(o_ref, 0), comp(o_ref, 1), comp(o_ref, 2),
+            comp(d_ref, 0), comp(d_ref, 1), comp(d_ref, 2))
 
 
 def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
@@ -251,7 +264,7 @@ def _closest_kernel(
 
     def subtile(p, _):
         i = base + p
-        ox, oy, oz, dx, dy, dz = _load_rays(o_ref.at[p], d_ref.at[p])
+        ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref, p)
         bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
         bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
 
@@ -279,8 +292,8 @@ def _closest_kernel(
 
         _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
-        bt_out[p] = bt[:]
-        bs_out[p] = bs[:]
+        bt_out[p, :] = bt[:, 0]
+        bs_out[p, :] = bs[:, 0]
         return 0
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -297,8 +310,8 @@ def _any_kernel(
 
     def subtile(p, _):
         i = base + p
-        ox, oy, oz, dx, dy, dz = _load_rays(o_ref.at[p], d_ref.at[p])
-        tmax = tmax_ref[p, :, 0:1]
+        ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref, p)
+        tmax = tmax_ref[0, pl.ds(pl.multiple_of(p * TILE, TILE), TILE)][:, None]
         fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
 
         def tri_body(k):
@@ -321,7 +334,7 @@ def _any_kernel(
                         tri_body, keep_going=not_all_found)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
                         sph_body, keep_going=not_all_found)
-        found_out[p] = fnd[:]
+        found_out[p, :] = fnd[:, 0]
         return 0
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -338,6 +351,19 @@ def _common_dims(dirs, tri_dat, sph_dat):
 @functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
 def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
                           n_tri: int, n_sph: int):
+    r = dirs.shape[0]
+    nt = r // TILE
+    if nt > MAX_NT:
+        bts, bss = [], []
+        for s in range(0, nt, MAX_NT):
+            e = min(s + MAX_NT, nt)
+            bt, bs = _cluster_closest_call(
+                thit[s:e], shit[s:e],
+                origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
+                tri_dat, sph_dat, n_tri, n_sph,
+            )
+            bts.append(bt); bss.append(bs)
+        return jnp.concatenate(bts), jnp.concatenate(bss)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
     tw, tl, tc = _compact(thit, MAX_TRI_LIST)
     sw, sl, sc = _compact(shit, MAX_SPH_LIST)
@@ -346,20 +372,21 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
-    o3 = origin.reshape(nt, TILE, 3)
-    d3 = dirs.reshape(nt, TILE, 3)
+    o3 = origin.T  # (3, R): dynamic subtile slices run on the lane dim
+    d3 = dirs.T
+    blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE, 1), jnp.float32),
@@ -370,8 +397,8 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nt, TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nt, TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nt, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
         ],
         interpret=_interpret(),
     )(tw, tl, tc, sw, sl, sc, o3, d3, tri_dat, sph_dat)
@@ -381,6 +408,18 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
 @functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
 def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
                       n_tri: int, n_sph: int):
+    r = dirs.shape[0]
+    nt = r // TILE
+    if nt > MAX_NT:
+        outs = []
+        for s in range(0, nt, MAX_NT):
+            e = min(s + MAX_NT, nt)
+            outs.append(_cluster_any_call(
+                thit[s:e], shit[s:e],
+                origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
+                t_max[s * TILE : e * TILE], tri_dat, sph_dat, n_tri, n_sph,
+            ))
+        return jnp.concatenate(outs)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
     tw, tl, tc = _compact(thit, MAX_TRI_LIST)
     sw, sl, sc = _compact(shit, MAX_SPH_LIST)
@@ -389,28 +428,29 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
         _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
-    o3 = origin.reshape(nt, TILE, 3)
-    d3 = dirs.reshape(nt, TILE, 3)
-    tm3 = t_max.reshape(nt, TILE, 1)
+    o3 = origin.T
+    d3 = dirs.T
+    tm2 = t_max.reshape(1, r)
+    blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((TPB, TILE, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((1, blk), lambda i, *_: (0, i)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((TPB, TILE, 1), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.int32)],
     )
     found = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, TILE, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
         interpret=_interpret(),
-    )(tw, tl, tc, sw, sl, sc, o3, d3, tm3, tri_dat, sph_dat)
+    )(tw, tl, tc, sw, sl, sc, o3, d3, tm2, tri_dat, sph_dat)
     return found.reshape(r) != 0
 
 

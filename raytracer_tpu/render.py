@@ -33,11 +33,13 @@ def main(argv=None) -> None:
                          "reference; mean: float mean before quantization")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
-    ap.add_argument("--chunk", type=int, default=1 << 18,
+    ap.add_argument("--chunk", type=int, default=1 << 21,
                     help="rays per device dispatch")
     ap.add_argument("--out-dir", default=".", help="output directory")
     ap.add_argument("--repeat", type=int, default=1,
                     help="render repetitions for benchmarking")
+    ap.add_argument("--json-metrics", action="store_true",
+                    help="print one structured JSON metrics line per camera")
     args = ap.parse_args(argv)
 
     import os
@@ -82,6 +84,19 @@ def main(argv=None) -> None:
             t_render += t3 - t2
             rays = rcam.width * rcam.height
             print(f"  {t3 - t2:.3f} s, {rays / (t3 - t2) / 1e6:.2f} Mrays/s (primary)")
+            if args.json_metrics:
+                import json
+
+                print(json.dumps({
+                    "camera": cam.image_name,
+                    "width": rcam.width, "height": rcam.height,
+                    "primary_rays": rays,
+                    "render_s": round(t3 - t2, 4),
+                    "mrays_per_s": round(rays / (t3 - t2) / 1e6, 3),
+                    "engine": args.engine, "ssaa": args.ssaa,
+                    "n_tris": meta.n_tris, "n_spheres": meta.n_spheres,
+                    "max_depth": meta.max_depth, "lights": meta.n_lights,
+                }))
             write_ppm(f"{args.out_dir}/{cam.image_name}", img)
     print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
     print(f"Total: {t_render / args.repeat + (t1 - t0):.3f} seconds.")
