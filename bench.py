@@ -51,11 +51,14 @@ def main() -> None:
         return float(jnp.sum(img))
 
     run()  # compile + warm caches
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
+    # median of repeats: the tunneled dev TPU shows +-30% run-to-run noise
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / n_rep
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     rays = cam.width * cam.height
     rays_per_s = rays / dt

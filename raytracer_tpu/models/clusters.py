@@ -70,15 +70,13 @@ class ClusterSet:
     sph_slot: Array   # (Ps,) i32 global prim id per slot (T_pad + s)
     sph_cmin: Array   # (Cs, 3) f32
     sph_cmax: Array   # (Cs, 3) f32
-    # per-slot shading tables (tris then spheres, Pt + Ps rows): let the
-    # forward path turn a kernel (t, slot) directly into a Hit with three
-    # cheap gathers instead of re-deriving geometry (ops.shade.refine_hit
-    # stays as the differentiable path)
-    slot_aux: Array   # (Pt+Ps, 3) f32: tri = unit geometric normal
-                      #                 (normalize((b-a)x(c-a)),
-                      #                 raytracer.cpp:342-348); sph = center
-    slot_rad: Array   # (Pt+Ps,) f32: sphere radius, 0 for triangles
-    slot_mat: Array   # (Pt+Ps,) i32: 0-based material id
+    # per-slot shading table (tris then spheres, Pt + Ps rows): lets the
+    # forward path turn a kernel (t, slot) into a full Hit with ONE gather
+    # (ops.shade.refine_hit stays as the differentiable path).  Columns:
+    # 0-2 = tri unit geometric normal (normalize((b-a)x(c-a)),
+    # raytracer.cpp:342-348) or sphere center; 3 = sphere radius (0 for
+    # tris); 4 = material id (exact small int in f32); 5-7 padding
+    slot_pack: Array  # (Pt+Ps, 8) f32
     # static (non-pytree) metadata
     n_tri: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_sph: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -173,10 +171,8 @@ def build_clusters(
                 sph_cmin[ci] = (centers[s:e] - radii[s:e, None]).min(axis=0)
                 sph_cmax[ci] = (centers[s:e] + radii[s:e, None]).max(axis=0)
 
-    # per-slot shading tables
-    slot_aux = np.zeros((Pt + Ps, 3), np.float32)
-    slot_rad = np.zeros((Pt + Ps,), np.float32)
-    slot_mat = np.zeros((Pt + Ps,), np.int32)
+    # per-slot shading table
+    slot_pack = np.zeros((Pt + Ps, 8), np.float32)
     tri_mat = np.asarray(data.tri_mat, np.int32)
     if n_tri:
         v = tri_v[tri_order]
@@ -185,18 +181,20 @@ def build_clusters(
         c32 = verts[v[:, 2]]
         n32 = np.cross(b32 - a32, c32 - a32).astype(np.float32)
         norm = np.linalg.norm(n32, axis=-1, keepdims=True)
-        slot_aux[:n_tri] = n32 / norm  # f32 like raytracer.cpp:342-348
-        slot_mat[:n_tri] = tri_mat[tri_order]
+        slot_pack[:n_tri, 0:3] = n32 / norm  # f32 like raytracer.cpp:342-348
+        slot_pack[:n_tri, 4] = tri_mat[tri_order]
     if n_sph:
-        slot_aux[Pt : Pt + n_sph] = centers
-        slot_rad[Pt : Pt + n_sph] = radii
-        slot_mat[Pt : Pt + n_sph] = np.asarray(data.sphere_mat, np.int32)[sph_order]
+        slot_pack[Pt : Pt + n_sph, 0:3] = centers
+        slot_pack[Pt : Pt + n_sph, 3] = radii
+        slot_pack[Pt : Pt + n_sph, 4] = np.asarray(
+            data.sphere_mat, np.int32
+        )[sph_order]
 
     return ClusterSet(
         tri_dat=tri_dat, tri_slot=tri_slot,
         tri_cmin=tri_cmin, tri_cmax=tri_cmax,
         sph_dat=sph_dat, sph_slot=sph_slot,
         sph_cmin=sph_cmin, sph_cmax=sph_cmax,
-        slot_aux=slot_aux, slot_rad=slot_rad, slot_mat=slot_mat,
+        slot_pack=slot_pack,
         n_tri=n_tri, n_sph=n_sph,
     )

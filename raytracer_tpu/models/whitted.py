@@ -141,13 +141,26 @@ def _render_rays_jit(data, meta, origin, dirs, bvh, engine,
                        differentiable=differentiable)
 
 
+@partial(jax.jit, static_argnames=("meta", "cam", "engine"))
+def _render_camera_jit(data, meta, cam, perm, inv, bvh, engine):
+    """Whole-frame pipeline in ONE dispatch: eye rays, tile permutation,
+    trace, inverse permutation, reshape.  `cam` is static (hashable)."""
+    origin, dirs = eye_rays(cam)
+    if perm is not None:
+        dirs = dirs[perm]
+    color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine)
+    if inv is not None:
+        color = color[inv]
+    return color.reshape(cam.height, cam.width, 3)
+
+
 def render_camera(
     data: SceneData,
     meta: SceneMeta,
     cam: Camera,
     bvh=None,
     engine: str = "auto",
-    chunk: int = 1 << 18,
+    chunk: int = 1 << 22,
 ):
     """Render one camera to an (H, W, 3) float32 radiance image.
 
@@ -166,17 +179,24 @@ def render_camera(
             engine = "bvh"
         else:
             engine = "brute"
-    origin, dirs = eye_rays(cam)
-    r = dirs.shape[0]
-    inv = None
+    r = cam.width * cam.height
+    perm = inv = None
     if engine == "cluster":
         from raytracer_tpu.ops.cluster_trace import TILE
         from raytracer_tpu.ops.tiling import block_permutation
 
         side = int(TILE ** 0.5)
         perm, inv = block_permutation(cam.height, cam.width, side, side)
-        dirs = dirs[perm]
         chunk = max(TILE, (chunk // TILE) * TILE)
+    if r <= chunk:
+        # whole frame in one fused dispatch
+        perm_d = None if perm is None else jnp.asarray(perm)
+        inv_d = None if inv is None else jnp.asarray(inv)
+        return _render_camera_jit(data, meta, cam, perm_d, inv_d, bvh, engine)
+    # chunked fallback for frames beyond the per-dispatch ray budget
+    origin, dirs = eye_rays(cam)
+    if perm is not None:
+        dirs = dirs[jnp.asarray(perm)]
     chunk = min(chunk, ((r + 255) // 256) * 256)
     pad = (-r) % chunk
     if pad:
@@ -188,5 +208,5 @@ def render_camera(
         )
     color = jnp.concatenate(outs, axis=0)[:r]
     if inv is not None:
-        color = color[inv]
+        color = color[jnp.asarray(inv)]
     return color.reshape(cam.height, cam.width, 3)

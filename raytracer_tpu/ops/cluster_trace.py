@@ -117,28 +117,40 @@ def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
     hit = (entry_lo <= exit_hi) & (exit_hi >= 0.0)
     if cap is not None:
         hit &= entry_lo <= cap[:, None]
-    return hit
+    if active is not None:
+        # fully-inactive tiles must visit NOTHING (their placeholder
+        # interval would otherwise still overlap scene clusters)
+        hit &= ~none_active
+    return hit, entry_lo
 
 
-def _compact(hit, max_list: int):
-    """hit (nt, C) bool -> (words (nt*W,) i32, ids (nt*max_list,) i32,
-    counts (nt,) i32).  ids holds the first max_list set clusters in
-    ascending id order; counts is UNclamped so the kernel can detect
-    overflow and fall back to scanning the bitmask."""
+def _compact(hit, entry, max_list: int):
+    """(hit, entry) (nt, C) -> (words (nt*W,) i32, ids (nt*max_list,) i32,
+    elist (nt*max_list,) f32, counts (nt,) i32).
+
+    ids holds the first max_list candidate clusters sorted FRONT-TO-BACK
+    by conservative slab entry (elist carries those entries, +inf pad) so
+    the closest kernel can stop as soon as the next entry cannot beat any
+    lane's best t.  counts is UNclamped so the kernel can detect overflow
+    and fall back to scanning the (unordered) bitmask."""
     nt, c = hit.shape
     counts = hit.sum(1).astype(jnp.int32)
     k = min(max_list, c)
-    keys = jnp.where(hit, jnp.int32(c) - jnp.arange(c, dtype=jnp.int32), 0)
-    _, ids = jax.lax.top_k(keys, k)   # descending keys == ascending ids
+    keys = jnp.where(hit, -entry, -jnp.inf)
+    vals, ids = jax.lax.top_k(keys, k)   # descending -entry == ascending entry
     ids = ids.astype(jnp.int32)
+    elist = -vals                         # +inf on non-candidate slots
     if k < max_list:
         ids = jnp.pad(ids, ((0, 0), (0, max_list - k)))
+        elist = jnp.pad(elist, ((0, 0), (0, max_list - k)),
+                        constant_values=jnp.inf)
     w = -(-c // 32)
     pad = w * 32 - c
     hp = jnp.pad(hit, ((0, 0), (0, pad))) if pad else hit
     weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
     words = (hp.reshape(nt, w, 32).astype(jnp.int32) * weights[None, None]).sum(-1)
-    return words.reshape(-1).astype(jnp.int32), ids.reshape(-1), counts
+    return (words.reshape(-1).astype(jnp.int32), ids.reshape(-1),
+            elist.reshape(-1), counts)
 
 
 # ---------------------------------------------------------------------------
@@ -185,41 +197,50 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
     return t1, ok
 
 
-def _load_rays(o_ref, d_ref, p):
-    """Load subtile p's ray components as (TILE, 1) sublane vectors.
+def _load_rays(b_ref, p):
+    """Load subtile p's ray bundle as (TILE, 1) sublane vectors.
 
-    Rays arrive transposed (3, R) so the dynamic subtile slice runs along
-    the 128-aligned lane dimension (Mosaic rejects dynamic views whose
-    minor dim is the unaligned literal 3); the lane->sublane relayout of
-    six (TILE,) vectors is paid once per subtile."""
+    Rays arrive as one (8, R) bundle [ox oy oz tmax dx dy dz pad] so the
+    dynamic subtile slice runs along the 128-aligned lane dimension
+    (Mosaic rejects dynamic views whose minor dim is the unaligned
+    literal 3) and ONE fused (8, TILE) -> (TILE, 8) relayout per subtile
+    replaces seven separate lane->sublane transposes."""
     lo = pl.multiple_of(p * TILE, TILE)
-
-    def comp(ref, c):
-        return ref[c, pl.ds(lo, TILE)][:, None]  # (TILE, 1)
-
-    return (comp(o_ref, 0), comp(o_ref, 1), comp(o_ref, 2),
-            comp(d_ref, 0), comp(d_ref, 1), comp(d_ref, 2))
+    b = b_ref[:, pl.ds(lo, TILE)].T          # (TILE, 8) single relayout
+    return (b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4],
+            b[:, 4:5], b[:, 5:6], b[:, 6:7])
 
 
 def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
-                    wpt: int, body, keep_going=None):
+                    wpt: int, body, keep_going=None, el_ref=None,
+                    entry_bound=None):
     """Run `body(cluster_id)` for every candidate cluster of tile i.
 
-    Fast path: iterate the compacted id list (count entries).  Fallback
-    (count > max_list): scan all clusters, testing the bitmask.  An
-    optional `keep_going()` predicate allows early termination (any-hit)."""
+    Fast path: iterate the compacted id list (count entries), which is
+    sorted front-to-back; with `el_ref`/`entry_bound` the walk stops once
+    the next cluster's conservative entry t can no longer beat
+    `entry_bound()` (closest-hit pruning, the analog of the reference's
+    box-tmin prune at raytracer.cpp:188).  Fallback (count > max_list):
+    scan all clusters via the (unordered) bitmask, no pruning.  An
+    optional `keep_going()` predicate allows early termination (any-hit).
+    """
     n = c_ref[i]
 
     @pl.when(n <= max_list)
     def _():
-        if keep_going is None:
+        if keep_going is None and el_ref is None:
             def from_list(k, _):
                 body(l_ref[i * max_list + k])
                 return 0
             jax.lax.fori_loop(0, n, from_list, 0)
         else:
             def cond(k):
-                return (k < n) & keep_going()
+                ok = k < n
+                if keep_going is not None:
+                    ok &= keep_going()
+                if el_ref is not None:
+                    ok &= el_ref[i * max_list + k] < entry_bound()
+                return ok
 
             def step(k):
                 body(l_ref[i * max_list + k])
@@ -254,8 +275,8 @@ def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
 
 
 def _closest_kernel(
-    tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref,   # scalar prefetch (SMEM)
-    o_ref, d_ref, tri_ref, sph_ref,                   # VMEM inputs
+    tw_ref, tl_ref, te_ref, tc_ref, sw_ref, sl_ref, se_ref, sc_ref,  # SMEM
+    b_ref, tri_ref, sph_ref,                          # VMEM inputs
     bt_out, bs_out,                                   # VMEM outputs
     bt, bs,                                           # VMEM scratch
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
@@ -264,7 +285,7 @@ def _closest_kernel(
 
     def subtile(p, _):
         i = base + p
-        ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref, p)
+        ox, oy, oz, _, dx, dy, dz = _load_rays(b_ref, p)
         bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
         bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
 
@@ -290,8 +311,15 @@ def _closest_kernel(
             bt[:] = jnp.where(upd, tmin, bt[:])
             bs[:] = jnp.where(upd, pt + s + j, bs[:])
 
-        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt, tri_body)
-        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws, sph_body)
+        def worst_best_t():
+            # prune bound: clusters whose conservative entry can't beat
+            # ANY lane's current best are skipped (list is front-to-back)
+            return jnp.max(bt[:])
+
+        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
+                        tri_body, el_ref=te_ref, entry_bound=worst_best_t)
+        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
+                        sph_body, el_ref=se_ref, entry_bound=worst_best_t)
         bt_out[p, :] = bt[:, 0]
         bs_out[p, :] = bs[:, 0]
         return 0
@@ -301,7 +329,7 @@ def _closest_kernel(
 
 def _any_kernel(
     tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref,
-    o_ref, d_ref, tmax_ref, tri_ref, sph_ref,
+    b_ref, tri_ref, sph_ref,
     found_out,
     fnd,
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
@@ -310,8 +338,7 @@ def _any_kernel(
 
     def subtile(p, _):
         i = base + p
-        ox, oy, oz, dx, dy, dz = _load_rays(o_ref, d_ref, p)
-        tmax = tmax_ref[0, pl.ds(pl.multiple_of(p * TILE, TILE), TILE)][:, None]
+        ox, oy, oz, tmax, dx, dy, dz = _load_rays(b_ref, p)
         fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
 
         def tri_body(k):
@@ -358,29 +385,30 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         for s in range(0, nt, MAX_NT):
             e = min(s + MAX_NT, nt)
             bt, bs = _cluster_closest_call(
-                thit[s:e], shit[s:e],
+                (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
                 tri_dat, sph_dat, n_tri, n_sph,
             )
             bts.append(bt); bss.append(bs)
         return jnp.concatenate(bts), jnp.concatenate(bss)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
-    tw, tl, tc = _compact(thit, MAX_TRI_LIST)
-    sw, sl, sc = _compact(shit, MAX_SPH_LIST)
+    tw, tl, te, tc = _compact(*thit, MAX_TRI_LIST)
+    sw, sl, se, sc = _compact(*shit, MAX_SPH_LIST)
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
-    o3 = origin.T  # (3, R): dynamic subtile slices run on the lane dim
-    d3 = dirs.T
+    bundle = jnp.concatenate([
+        origin.T, jnp.zeros((1, r), jnp.float32),
+        dirs.T, jnp.zeros((1, r), jnp.float32),
+    ])  # (8, R): one fused per-subtile relayout in-kernel
     blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
-            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((8, blk), lambda i, *_: (0, i)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
@@ -401,7 +429,7 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
             jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tw, tl, tc, sw, sl, sc, o3, d3, tri_dat, sph_dat)
+    )(tw, tl, te, tc, sw, sl, se, sc, bundle, tri_dat, sph_dat)
     return bt.reshape(r), bs.reshape(r)
 
 
@@ -415,30 +443,29 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
         for s in range(0, nt, MAX_NT):
             e = min(s + MAX_NT, nt)
             outs.append(_cluster_any_call(
-                thit[s:e], shit[s:e],
+                (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
                 t_max[s * TILE : e * TILE], tri_dat, sph_dat, n_tri, n_sph,
             ))
         return jnp.concatenate(outs)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
-    tw, tl, tc = _compact(thit, MAX_TRI_LIST)
-    sw, sl, sc = _compact(shit, MAX_SPH_LIST)
+    tw, tl, _, tc = _compact(*thit, MAX_TRI_LIST)
+    sw, sl, _, sc = _compact(*shit, MAX_SPH_LIST)
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
         wt=wt, ws=ws,
     )
-    o3 = origin.T
-    d3 = dirs.T
-    tm2 = t_max.reshape(1, r)
+    bundle = jnp.concatenate([
+        origin.T, t_max.reshape(1, r),
+        dirs.T, jnp.zeros((1, r), jnp.float32),
+    ])  # (8, R)
     blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nt // TPB,),
         in_specs=[
-            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
-            pl.BlockSpec((3, blk), lambda i, *_: (0, i)),
-            pl.BlockSpec((1, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((8, blk), lambda i, *_: (0, i)),
             pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
@@ -450,7 +477,7 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
         interpret=_interpret(),
-    )(tw, tl, tc, sw, sl, sc, o3, d3, tm2, tri_dat, sph_dat)
+    )(tw, tl, tc, sw, sl, sc, bundle, tri_dat, sph_dat)
     return found.reshape(r) != 0
 
 
@@ -533,9 +560,10 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     hit = slot >= 0
     sslot = jnp.where(hit, slot, 0)
     pt = cset.tri_dat.shape[1]
-    aux = cset.slot_aux[sslot]          # tri: unit normal; sph: center
-    rad = cset.slot_rad[sslot]
-    mat = jnp.where(hit, cset.slot_mat[sslot], 0)
+    pack = cset.slot_pack[sslot]        # ONE (R, 8) gather
+    aux = pack[:, 0:3]                  # tri: unit normal; sph: center
+    rad = pack[:, 3]
+    mat = jnp.where(hit, pack[:, 4].astype(jnp.int32), 0)
     t = jnp.where(hit, t, 1.0)
     point = origin + t[:, None] * dirs
     is_tri = sslot < pt

@@ -152,16 +152,23 @@ def shade_local(
     sdir = to_off / light_dist[..., None]
     sdir_real = normalize(lp[None, :, :] - h.point[:, None, :])
 
+    cos_theta = dot(sdir_real, h.normal[:, None, :])        # (R, L)
+
+    # a light strictly behind the surface contributes NOTHING: diffuse is
+    # clamped at 0 and the specular gate (acos deg <= 90.01, i.e.
+    # cos >= -1.7453e-4) is closed — skip its shadow ray entirely.  The
+    # reference traces it anyway (raytracer.cpp:399-425) but the result
+    # cannot differ.
+    relevant = cos_theta >= -1.8e-4                          # (R, L)
+
     org_flat = jnp.broadcast_to(h.offset[:, None, :], (r, nl, 3))
     occ = occluded_fn(
         org_flat.transpose(1, 0, 2).reshape(nl * r, 3),
         sdir.transpose(1, 0, 2).reshape(nl * r, 3),
         light_dist.T.reshape(nl * r),
-        jnp.broadcast_to(h.hit[None, :], (nl, r)).reshape(nl * r),
+        (h.hit[:, None] & relevant).T.reshape(nl * r),
     )
-    lit = h.hit[:, None] & ~occ.reshape(nl, r).T            # (R, L)
-
-    cos_theta = dot(sdir_real, h.normal[:, None, :])        # (R, L)
+    lit = h.hit[:, None] & relevant & ~occ.reshape(nl, r).T  # (R, L)
     irr = lint[None] / (light_dist * light_dist)[..., None]  # (R, L, 3)
 
     # specular gate: acos in degrees with the reference's 3.1415

@@ -33,18 +33,29 @@ def main(argv=None) -> None:
                          "reference; mean: float mean before quantization")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
-    ap.add_argument("--chunk", type=int, default=1 << 21,
+    ap.add_argument("--chunk", type=int, default=1 << 22,
                     help="rays per device dispatch")
     ap.add_argument("--out-dir", default=".", help="output directory")
     ap.add_argument("--repeat", type=int, default=1,
                     help="render repetitions for benchmarking")
     ap.add_argument("--json-metrics", action="store_true",
                     help="print one structured JSON metrics line per camera")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the renders into DIR")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans (aborts on the first NaN)")
     args = ap.parse_args(argv)
 
+    import contextlib
     import os
 
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile
+        else contextlib.nullcontext()
+    )
     data, meta = load_scene(args.scene)
     data = jax.device_put(data)
 
@@ -64,40 +75,41 @@ def main(argv=None) -> None:
         print(f"Super Sampling Anti aliasing is enabled. ({args.ssaa}*{args.ssaa}x)")
 
     t_render = 0.0
-    for _ in range(args.repeat):
-        for cam in meta.cameras:
-            rcam = cam.scaled(args.ssaa) if args.ssaa > 1 else cam
-            print(f"Rendering {cam.image_name} "
-                  f"({rcam.width}x{rcam.height}, engine={args.engine})...")
-            t2 = time.perf_counter()
-            color = render_camera(data, meta, rcam, bvh=accel, engine=args.engine,
-                                  chunk=args.chunk)
-            if args.ssaa > 1:
-                if args.ssaa_mode == "parity":
-                    img = downsample_parity(quantize(color), args.ssaa)
+    with profile_cm:
+        for _ in range(args.repeat):
+            for cam in meta.cameras:
+                rcam = cam.scaled(args.ssaa) if args.ssaa > 1 else cam
+                print(f"Rendering {cam.image_name} "
+                      f"({rcam.width}x{rcam.height}, engine={args.engine})...")
+                t2 = time.perf_counter()
+                color = render_camera(data, meta, rcam, bvh=accel, engine=args.engine,
+                                      chunk=args.chunk)
+                if args.ssaa > 1:
+                    if args.ssaa_mode == "parity":
+                        img = downsample_parity(quantize(color), args.ssaa)
+                    else:
+                        img = quantize(downsample_mean(color, args.ssaa))
                 else:
-                    img = quantize(downsample_mean(color, args.ssaa))
-            else:
-                img = quantize(color)
-            img = np.asarray(img)
-            t3 = time.perf_counter()
-            t_render += t3 - t2
-            rays = rcam.width * rcam.height
-            print(f"  {t3 - t2:.3f} s, {rays / (t3 - t2) / 1e6:.2f} Mrays/s (primary)")
-            if args.json_metrics:
-                import json
+                    img = quantize(color)
+                img = np.asarray(img)
+                t3 = time.perf_counter()
+                t_render += t3 - t2
+                rays = rcam.width * rcam.height
+                print(f"  {t3 - t2:.3f} s, {rays / (t3 - t2) / 1e6:.2f} Mrays/s (primary)")
+                if args.json_metrics:
+                    import json
 
-                print(json.dumps({
-                    "camera": cam.image_name,
-                    "width": rcam.width, "height": rcam.height,
-                    "primary_rays": rays,
-                    "render_s": round(t3 - t2, 4),
-                    "mrays_per_s": round(rays / (t3 - t2) / 1e6, 3),
-                    "engine": args.engine, "ssaa": args.ssaa,
-                    "n_tris": meta.n_tris, "n_spheres": meta.n_spheres,
-                    "max_depth": meta.max_depth, "lights": meta.n_lights,
-                }))
-            write_ppm(f"{args.out_dir}/{cam.image_name}", img)
+                    print(json.dumps({
+                        "camera": cam.image_name,
+                        "width": rcam.width, "height": rcam.height,
+                        "primary_rays": rays,
+                        "render_s": round(t3 - t2, 4),
+                        "mrays_per_s": round(rays / (t3 - t2) / 1e6, 3),
+                        "engine": args.engine, "ssaa": args.ssaa,
+                        "n_tris": meta.n_tris, "n_spheres": meta.n_spheres,
+                        "max_depth": meta.max_depth, "lights": meta.n_lights,
+                    }))
+                write_ppm(f"{args.out_dir}/{cam.image_name}", img)
     print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
     print(f"Total: {t_render / args.repeat + (t1 - t0):.3f} seconds.")
 
