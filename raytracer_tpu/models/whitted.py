@@ -185,8 +185,9 @@ def render_camera(
         from raytracer_tpu.ops.cluster_trace import TILE
         from raytracer_tpu.ops.tiling import block_permutation
 
-        side = int(TILE ** 0.5)
-        perm, inv = block_permutation(cam.height, cam.width, side, side)
+        bh = 1 << (max(TILE.bit_length() - 1, 0) // 2)  # e.g. 256->16, 512->16
+        bw = TILE // bh                                  #      256->16, 512->32
+        perm, inv = block_permutation(cam.height, cam.width, bh, bw)
         chunk = max(TILE, (chunk // TILE) * TILE)
     if r <= chunk:
         # whole frame in one fused dispatch

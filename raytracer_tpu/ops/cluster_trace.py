@@ -63,15 +63,24 @@ def _interval_mul(alo, ahi, blo, bhi):
     return lo, hi
 
 
-def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
+def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int,
+                      subsplit: int = 1):
     """(nt, C) conservative bool: could any tile ray hit this cluster box?
 
     origin/dirs: (R, 3); active: (R,) bool or None; cmin/cmax: (C, 3);
     t_hi: per-ray conservative upper bound on useful t ((R,) or None).
+
+    Each tile is evaluated as `subsplit` independent sub-intervals whose
+    masks are OR-ed: secondary-ray tiles straddling depth discontinuities
+    have strongly multi-modal origin sets, and one interval box over all
+    of them admits most of the scene; four quarter-boxes stay tight.
     """
     origin = jax.lax.stop_gradient(origin)
     dirs = jax.lax.stop_gradient(dirs)
     r = dirs.shape[0]
+    nt_out = r // tile
+    if subsplit > 1:
+        tile //= subsplit
     nt = r // tile
     o = origin.reshape(nt, tile, 3)
     d = dirs.reshape(nt, tile, 3)
@@ -121,6 +130,14 @@ def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
         # fully-inactive tiles must visit NOTHING (their placeholder
         # interval would otherwise still overlap scene clusters)
         hit &= ~none_active
+    if subsplit > 1:
+        c = hit.shape[1]
+        hit_s = hit.reshape(nt_out, subsplit, c)
+        entry_s = entry_lo.reshape(nt_out, subsplit, c)
+        # merged entry bound: min over the sub-intervals that can hit
+        # (rays of non-hitting subs are irrelevant to this cluster)
+        entry_lo = jnp.where(hit_s, entry_s, jnp.inf).min(1)
+        hit = hit_s.any(1)
     return hit, entry_lo
 
 
@@ -171,11 +188,10 @@ def _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri: int):
     beta = (ox * w1x + oy * w1y + oz * w1z) + t * (dx * w1x + dy * w1y + dz * w1z) - w1aa
     gamma = (ox * w2x + oy * w2y + oz * w2z) + t * (dx * w2x + dy * w2y + dz * w2z) - w2aa
     alpha = 1.0 - beta - gamma
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
-    ok = (
-        (alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0) & (t >= 0.0)
-        & ((s + lane) < n_tri)
-    )
+    # padding slots hold all-zero rows: nd == 0 -> t = 0/0 = NaN -> every
+    # comparison below is False, so no lane mask is needed
+    del n_tri
+    ok = (alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0) & (t >= 0.0)
     return t, ok
 
 
@@ -192,8 +208,10 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = (-b_q - sq) / (2.0 * a_q)
     t2 = (-b_q + sq) / (2.0 * a_q)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
-    ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & ((s + lane) < n_sph)
+    # padding slots have radius 0 and are rejected explicitly (a zero
+    # sphere at the origin could otherwise produce a tangent root)
+    del n_sph
+    ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
     return t1, ok
 
 

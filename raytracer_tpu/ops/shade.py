@@ -161,11 +161,17 @@ def shade_local(
     # cannot differ.
     relevant = cos_theta >= -1.8e-4                          # (R, L)
 
+    # Occlusion is tested on the UNNORMALIZED segment d = light - origin
+    # with t_max = 1: mathematically identical to the reference's
+    # normalized-direction t < dist test (raytracer.cpp:399-405), but the
+    # tile shortlist's direction interval becomes exactly light - o_box,
+    # preserving the origin<->direction correlation that normalization
+    # destroys (~2x tighter shadow candidate lists).
     org_flat = jnp.broadcast_to(h.offset[:, None, :], (r, nl, 3))
     occ = occluded_fn(
         org_flat.transpose(1, 0, 2).reshape(nl * r, 3),
-        sdir.transpose(1, 0, 2).reshape(nl * r, 3),
-        light_dist.T.reshape(nl * r),
+        to_off.transpose(1, 0, 2).reshape(nl * r, 3),
+        jnp.ones((nl * r,), jnp.float32),
         (h.hit[:, None] & relevant).T.reshape(nl * r),
     )
     lit = h.hit[:, None] & relevant & ~occ.reshape(nl, r).T  # (R, L)

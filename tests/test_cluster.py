@@ -33,23 +33,30 @@ def test_cluster_matches_brute(reference_inputs, scene):
 
 
 def test_cluster_set_structure(reference_inputs):
+    from raytracer_tpu.models.clusters import CLUSTER
+
     data, meta = load_scene(f"{reference_inputs}/marbles.xml")
     bvh = build_bvh(data, meta)
     cset = build_clusters(data, meta, bvh)
-    # every real primitive appears exactly once across slots
-    tri_ids = np.asarray(cset.tri_slot)[: cset.n_tri]
-    sph_ids = np.asarray(cset.sph_slot)[: cset.n_sph]
-    assert len(set(tri_ids.tolist())) == meta.n_tris
+    # valid sphere slots are exactly those with positive radius (treelet
+    # clusters pad their strides with degenerate zero-radius entries)
+    rad = np.asarray(cset.sph_dat)[3]
+    valid = rad > 0
+    assert int(valid.sum()) == meta.n_spheres
+    sph_ids = np.asarray(cset.sph_slot)[valid]
     assert len(set(sph_ids.tolist())) == meta.n_spheres
-    # cluster AABBs contain their primitives (spheres: center +- radius)
-    verts = np.asarray(data.vertices)
-    centers = verts[np.asarray(data.sphere_cvid)[sph_ids - data.tri_v.shape[0]]]
-    radii = np.asarray(data.sphere_rad)[sph_ids - data.tri_v.shape[0]]
-    from raytracer_tpu.models.clusters import CLUSTER
-
+    # every valid slot's sphere lies inside its cluster's AABB
+    centers = np.asarray(cset.sph_dat)[0:3].T
     cmin = np.asarray(cset.sph_cmin)
     cmax = np.asarray(cset.sph_cmax)
-    for i in range(cset.n_sph):
-        ci = i // CLUSTER
-        assert (centers[i] - radii[i] >= cmin[ci] - 1e-5).all()
-        assert (centers[i] + radii[i] <= cmax[ci] + 1e-5).all()
+    for s in np.nonzero(valid)[0]:
+        ci = s // CLUSTER
+        assert (centers[s] - rad[s] >= cmin[ci] - 1e-5).all()
+        assert (centers[s] + rad[s] <= cmax[ci] + 1e-5).all()
+    # triangle side: valid slots hold each real triangle exactly once
+    data2, meta2 = load_scene(f"{reference_inputs}/bunny.xml")
+    cset2 = build_clusters(data2, meta2, build_bvh(data2, meta2))
+    n = np.asarray(cset2.tri_dat)[0:3]
+    tvalid = (n != 0).any(axis=0)
+    ids = np.asarray(cset2.tri_slot)[tvalid]
+    assert len(set(ids.tolist())) == len(ids) == meta2.n_tris
