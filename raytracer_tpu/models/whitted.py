@@ -141,17 +141,21 @@ def _render_rays_jit(data, meta, origin, dirs, bvh, engine,
                        differentiable=differentiable)
 
 
-@partial(jax.jit, static_argnames=("meta", "cam", "engine"))
-def _render_camera_jit(data, meta, cam, perm, inv, bvh, engine):
+@partial(jax.jit, static_argnames=("meta", "h", "w", "engine"))
+def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine):
     """Whole-frame pipeline in ONE dispatch: eye rays, tile permutation,
-    trace, inverse permutation, reshape.  `cam` is static (hashable)."""
-    origin, dirs = eye_rays(cam)
+    trace, inverse permutation, reshape.  Camera parameters are TRACED
+    (packed in cam_vec) so all cameras sharing a resolution share one
+    compile — only H/W are static."""
+    from raytracer_tpu.ops.camera import eye_rays_from
+
+    origin, dirs = eye_rays_from(cam_vec, w, h)
     if perm is not None:
         dirs = dirs[perm]
     color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine)
     if inv is not None:
         color = color[inv]
-    return color.reshape(cam.height, cam.width, 3)
+    return color.reshape(h, w, 3)
 
 
 def render_camera(
@@ -191,9 +195,14 @@ def render_camera(
         chunk = max(TILE, (chunk // TILE) * TILE)
     if r <= chunk:
         # whole frame in one fused dispatch
+        from raytracer_tpu.ops.camera import camera_vectors
+
         perm_d = None if perm is None else jnp.asarray(perm)
         inv_d = None if inv is None else jnp.asarray(inv)
-        return _render_camera_jit(data, meta, cam, perm_d, inv_d, bvh, engine)
+        return _render_camera_jit(
+            data, meta, jnp.asarray(camera_vectors(cam)), cam.height,
+            cam.width, perm_d, inv_d, bvh, engine,
+        )
     # chunked fallback for frames beyond the per-dispatch ray budget
     origin, dirs = eye_rays(cam)
     if perm is not None:

@@ -23,19 +23,54 @@ import jax.numpy as jnp
 from raytracer_tpu.models.scene import Camera
 
 
-def camera_basis(cam: Camera):
-    """Return (e, u, v, q, su_mult, sv_mult) as f32 jnp arrays/scalars."""
-    e = jnp.asarray(cam.position, dtype=jnp.float32)
-    gaze = jnp.asarray(cam.gaze, dtype=jnp.float32)
-    v = jnp.asarray(cam.up, dtype=jnp.float32)
+def camera_vectors(cam: Camera):
+    """The camera's numeric parameters as one (4, 3) f32 array:
+    rows = position, gaze, up, (l, r, b) and a fifth scalar group folded
+    as (t, near_distance, 0) — packed (5, 3) so cameras sharing a
+    resolution can share one compiled render (parameters traced, only
+    W/H static)."""
+    import numpy as _np
+
+    l, r, b, t = cam.near_plane
+    return _np.array(
+        [cam.position, cam.gaze, cam.up, (l, r, b),
+         (t, cam.near_distance, 0.0)], dtype=_np.float32,
+    )
+
+
+def camera_basis_from(vec, width: int, height: int):
+    """(e, u, v, q, su_mult, sv_mult) from a packed camera_vectors array."""
+    vec = jnp.asarray(vec, jnp.float32)
+    e, gaze, v = vec[0], vec[1], vec[2]
+    l, r, b = vec[3, 0], vec[3, 1], vec[3, 2]
+    t, near = vec[4, 0], vec[4, 1]
     w = -gaze
     u = jnp.cross(v, w)
-    l, r, b, t = [jnp.float32(x) for x in cam.near_plane]
-    m = e + gaze * jnp.float32(cam.near_distance)
+    m = e + gaze * near
     q = m + u * l + v * t
-    su_mult = (r - l) / jnp.float32(cam.width)
-    sv_mult = (t - b) / jnp.float32(cam.height)
+    su_mult = (r - l) / jnp.float32(width)
+    sv_mult = (t - b) / jnp.float32(height)
     return e, u, v, q, su_mult, sv_mult
+
+
+def camera_basis(cam: Camera):
+    """Return (e, u, v, q, su_mult, sv_mult) as f32 jnp arrays/scalars."""
+    return camera_basis_from(camera_vectors(cam), cam.width, cam.height)
+
+
+def eye_rays_from(vec, width: int, height: int):
+    """Eye rays from packed camera vectors (shapes static, values traced)."""
+    e, u, v, q, su_mult, sv_mult = camera_basis_from(vec, width, height)
+    cols = (jnp.arange(width, dtype=jnp.float32) + 0.5) * su_mult   # (W,)
+    rows = (jnp.arange(height, dtype=jnp.float32) + 0.5) * sv_mult  # (H,)
+    # s = q + u*su - v*sv  →  dir = s - e
+    s = (
+        q[None, None, :]
+        + u[None, None, :] * cols[None, :, None]
+        - v[None, None, :] * rows[:, None, None]
+    )  # (H, W, 3)
+    dirs = (s - e[None, None, :]).reshape(-1, 3)
+    return e, dirs
 
 
 def eye_rays(cam: Camera):
@@ -45,14 +80,4 @@ def eye_rays(cam: Camera):
       origin: (3,) f32 — shared camera position.
       dirs:   (H*W, 3) f32 — unnormalized directions, row-major, row 0 = top.
     """
-    e, u, v, q, su_mult, sv_mult = camera_basis(cam)
-    cols = (jnp.arange(cam.width, dtype=jnp.float32) + 0.5) * su_mult   # (W,)
-    rows = (jnp.arange(cam.height, dtype=jnp.float32) + 0.5) * sv_mult  # (H,)
-    # s = q + u*su - v*sv  →  dir = s - e
-    s = (
-        q[None, None, :]
-        + u[None, None, :] * cols[None, :, None]
-        - v[None, None, :] * rows[:, None, None]
-    )  # (H, W, 3)
-    dirs = (s - e[None, None, :]).reshape(-1, 3)
-    return e, dirs
+    return eye_rays_from(camera_vectors(cam), cam.width, cam.height)
