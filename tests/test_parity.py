@@ -18,8 +18,14 @@ from raytracer_tpu.utils.ppm import read_ppm
 def _render(reference_inputs, scene, image_name, engine):
     data, meta = load_scene(f"{reference_inputs}/{scene}.xml")
     cam = next(c for c in meta.cameras if c.image_name == image_name)
-    bvh = build_bvh(data, meta) if engine == "bvh" else None
-    img = render_camera(data, meta, cam, bvh=bvh, engine=engine)
+    accel = None
+    if engine == "bvh":
+        accel = build_bvh(data, meta)
+    elif engine == "cluster":
+        from raytracer_tpu.models.clusters import build_clusters
+
+        accel = build_clusters(data, meta, build_bvh(data, meta))
+    img = render_camera(data, meta, cam, bvh=accel, engine=engine)
     return np.asarray(quantize(img))
 
 
@@ -33,8 +39,9 @@ def _check(img, gold, frac_tol, big_frac_tol, mse_tol):
     assert mse <= mse_tol, (frac, big_frac, mse)
 
 
-def test_simple_parity(reference_inputs, reference_outputs):
-    img = _render(reference_inputs, "simple", "simple.ppm", "brute")
+@pytest.mark.parametrize("engine", ["brute", "cluster"])
+def test_simple_parity(reference_inputs, reference_outputs, engine):
+    img = _render(reference_inputs, "simple", "simple.ppm", engine)
     gold = read_ppm(f"{reference_outputs}/simple.ppm")
     # reference binary: 408 channels differ, max |Δ|=1
     _check(img, gold, frac_tol=5e-4, big_frac_tol=0.0, mse_tol=1e-3)
