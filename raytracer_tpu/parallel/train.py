@@ -52,8 +52,8 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def extract_params(data: SceneData) -> dict:
-    return {f: getattr(data, f) for f in PARAM_FIELDS}
+def extract_params(data: SceneData, fields=PARAM_FIELDS) -> dict:
+    return {f: getattr(data, f) for f in fields}
 
 
 def apply_params(data: SceneData, params: dict) -> SceneData:
@@ -113,6 +113,9 @@ def make_train_step(
     return step
 
 
-def init_state(data: SceneData, optimizer: optax.GradientTransformation) -> TrainState:
-    params = extract_params(data)
+def init_state(data: SceneData, optimizer: optax.GradientTransformation,
+               fields=PARAM_FIELDS) -> TrainState:
+    """Fresh state optimizing `fields` (default: every differentiable
+    scene field; pass a subset to pin the rest)."""
+    params = extract_params(data, fields)
     return TrainState(params, optimizer.init(params))
