@@ -38,10 +38,10 @@ from raytracer_tpu.models.clusters import CLUSTER, ClusterSet
 from raytracer_tpu.models.scene import SceneData
 
 TILE = 256          # rays per shortlist tile
-TPB = 8             # tiles per grid program (amortizes ~10us/program cost)
-MAX_TRI_LIST = 32   # cluster-list capacity before bitmask fallback
+TPB = 16            # tiles per grid program (amortizes ~10us/program cost)
+MAX_TRI_LIST = 48   # cluster-list capacity before bitmask fallback
 MAX_SPH_LIST = 8
-MAX_NT = 2048       # tiles per pallas_call: bounds the SMEM-resident
+MAX_NT = 1536       # tiles per pallas_call: bounds the SMEM-resident
                     # shortlists (~0.4 MB of the 1 MB budget); larger
                     # wavefronts run as sequential in-graph segments
 MISS = jnp.int32(-1)
