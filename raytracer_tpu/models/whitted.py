@@ -207,7 +207,11 @@ def render_camera(
     origin, dirs = eye_rays(cam)
     if perm is not None:
         dirs = dirs[jnp.asarray(perm)]
-    chunk = min(chunk, ((r + 255) // 256) * 256)
+    if engine == "cluster":
+        from raytracer_tpu.ops.cluster_trace import TILE as _T
+    else:
+        _T = 256
+    chunk = min(chunk, ((r + _T - 1) // _T) * _T)
     pad = (-r) % chunk
     if pad:
         dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))], axis=0)

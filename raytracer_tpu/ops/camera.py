@@ -24,7 +24,7 @@ from raytracer_tpu.models.scene import Camera
 
 
 def camera_vectors(cam: Camera):
-    """The camera's numeric parameters as one (4, 3) f32 array:
+    """The camera's numeric parameters as one (5, 3) f32 array:
     rows = position, gaze, up, (l, r, b) and a fifth scalar group folded
     as (t, near_distance, 0) — packed (5, 3) so cameras sharing a
     resolution can share one compiled render (parameters traced, only

@@ -61,7 +61,7 @@ def render_rays_sharded(
     `dirs.shape[0]` must be a multiple of the mesh size (callers pad; see
     `render_camera_sharded`).  Returns (R, 3) radiance sharded over the mesh.
     """
-    key = (id(mesh), meta, engine, bvh is not None)
+    key = (mesh, meta, engine, bvh is not None)  # Mesh is hashable
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = _FN_CACHE[key] = _sharded_render_fn(mesh, meta, engine, bvh is not None)

@@ -13,6 +13,7 @@ is the final PPM).  The framework adds two optional layers:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Tuple
 
 import jax
@@ -27,7 +28,10 @@ def _flatten_to_npz(path: str, tree, extra: dict | None = None) -> None:
     payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     if extra:
         payload.update(extra)
-    np.savez_compressed(path, **payload)
+    # an open file handle keeps numpy from appending '.npz' to bare paths,
+    # so save/load agree on the exact filename
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
 
 
 def _unflatten_from_npz(path: str, like) -> Any:
@@ -42,22 +46,42 @@ def _unflatten_from_npz(path: str, like) -> Any:
     return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
+_ACCEL_VERSION = 2
+
+
 def save_accel(path: str, bvh: BVH, clusters: ClusterSet) -> None:
-    """Persist the acceleration structures for a scene."""
-    _flatten_to_npz(
-        path, (bvh, clusters),
-        extra={
-            "n_tri": np.int64(clusters.n_tri),
-            "n_sph": np.int64(clusters.n_sph),
-        },
-    )
+    """Persist the acceleration structures for a scene.
+
+    The file is SELF-DESCRIBING: every dataclass field is stored under its
+    own key (npz records shapes/dtypes), so ``load_accel`` reconstructs the
+    pytrees without redoing the build it is meant to skip.
+    """
+    payload: dict = {"accel_version": np.int64(_ACCEL_VERSION)}
+    for f in dataclasses.fields(BVH):
+        payload[f"bvh.{f.name}"] = np.asarray(getattr(bvh, f.name))
+    for f in dataclasses.fields(ClusterSet):
+        v = getattr(clusters, f.name)
+        payload[f"cluster.{f.name}"] = (
+            np.int64(v) if isinstance(v, int) else np.asarray(v)
+        )
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
 
 
-def load_accel(path: str, bvh_like: BVH, clusters_like: ClusterSet
-               ) -> Tuple[BVH, ClusterSet]:
-    """Reload accel structures; `*_like` provide the pytree structure
-    (e.g. freshly built on a changed scene — shapes are validated)."""
-    bvh, clusters = _unflatten_from_npz(path, (bvh_like, clusters_like))
+def load_accel(path: str) -> Tuple[BVH, ClusterSet]:
+    """Reload accel structures from a ``save_accel`` file — no freshly
+    built templates needed (shapes/dtypes come from the npz itself)."""
+    with np.load(path) as z:
+        if int(z.get("accel_version", 0)) != _ACCEL_VERSION:
+            raise ValueError(
+                f"{path}: not a version-{_ACCEL_VERSION} accel cache"
+            )
+        bvh = BVH(**{f.name: z[f"bvh.{f.name}"] for f in dataclasses.fields(BVH)})
+        ckw = {}
+        for f in dataclasses.fields(ClusterSet):
+            v = z[f"cluster.{f.name}"]
+            ckw[f.name] = int(v) if v.ndim == 0 else v
+        clusters = ClusterSet(**ckw)
     return bvh, clusters
 
 

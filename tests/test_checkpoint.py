@@ -16,19 +16,23 @@ from raytracer_tpu.utils.checkpoint import (
 
 
 def test_accel_cache_roundtrip(reference_inputs, tmp_path):
+    """Self-describing: load needs NO freshly built templates, and bare
+    paths (no .npz suffix) round-trip too."""
     data, meta = load_scene(f"{reference_inputs}/simple.xml")
     bvh = build_bvh(data, meta)
     clusters = build_clusters(data, meta, bvh)
-    path = str(tmp_path / "accel.npz")
-    save_accel(path, bvh, clusters)
-    bvh2, clusters2 = load_accel(path, bvh, clusters)
-    import jax
+    for name in ("accel.npz", "accel.ckpt"):
+        path = str(tmp_path / name)
+        save_accel(path, bvh, clusters)
+        bvh2, clusters2 = load_accel(path)
+        import jax
 
-    for a, b in zip(jax.tree.leaves(bvh), jax.tree.leaves(bvh2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(jax.tree.leaves(clusters), jax.tree.leaves(clusters2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert clusters2.n_tri == clusters.n_tri
+        for a, b in zip(jax.tree.leaves(bvh), jax.tree.leaves(bvh2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(clusters), jax.tree.leaves(clusters2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert clusters2.n_tri == clusters.n_tri
+        assert clusters2.n_sph == clusters.n_sph
 
 
 def test_train_state_roundtrip(reference_inputs, tmp_path):
