@@ -41,6 +41,7 @@ def render_rays(
     bvh=None,
     engine: str = "brute",
     differentiable: bool = False,
+    bfc: bool = False,
 ):
     """Trace a wavefront of rays to radiance.
 
@@ -51,6 +52,8 @@ def render_rays(
       differentiable: when True, hit attributes are re-derived from scene
         parameters (ops.shade.refine_hit) so gradients flow; when False
         the cluster engine's fast kernel-side hit info is used directly.
+      bfc: cull backfacing triangles (TA outputs/ semantics; the
+        reference code never culls — see ops.intersect.tri_intersect).
     Returns:
       (R, 3) float32 radiance (pre-quantization).
     """
@@ -67,7 +70,7 @@ def render_rays(
             from raytracer_tpu.ops.shade import Hit
 
             fhit, t, normal, mat, point, offset, prim = cluster_closest_hit(
-                bvh, cur_org, cur_dir, meta.shadow_eps, active=active
+                bvh, cur_org, cur_dir, meta.shadow_eps, active=active, bfc=bfc
             )
             fhit = fhit & active
             h = Hit(hit=fhit, t=t, normal=normal, mat=mat, point=point,
@@ -75,13 +78,13 @@ def render_rays(
             prim = jnp.where(active, prim, traverse.MISS)
         else:
             prim = traverse.closest_hit(
-                data, cur_org, cur_dir, bvh, engine, active=active
+                data, cur_org, cur_dir, bvh, engine, active=active, bfc=bfc
             )
             prim = jnp.where(active, prim, traverse.MISS)
 
         def occluded(org, sdir, t_max, mask):
             return traverse.any_hit(
-                data, org, sdir, t_max, bvh, engine, active=mask
+                data, org, sdir, t_max, bvh, engine, active=mask, bfc=bfc
             )
         if not fast_hits:
             h = refine_hit(data, meta, cur_org, cur_dir, prim)
@@ -134,15 +137,16 @@ def render_rays(
     return color
 
 
-@partial(jax.jit, static_argnames=("meta", "engine", "differentiable"))
+@partial(jax.jit, static_argnames=("meta", "engine", "differentiable", "bfc"))
 def _render_rays_jit(data, meta, origin, dirs, bvh, engine,
-                     differentiable=False):
+                     differentiable=False, bfc=False):
     return render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
-                       differentiable=differentiable)
+                       differentiable=differentiable, bfc=bfc)
 
 
-@partial(jax.jit, static_argnames=("meta", "h", "w", "engine"))
-def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine):
+@partial(jax.jit, static_argnames=("meta", "h", "w", "engine", "bfc"))
+def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
+                       bfc=False):
     """Whole-frame pipeline in ONE dispatch: eye rays, tile permutation,
     trace, inverse permutation, reshape.  Camera parameters are TRACED
     (packed in cam_vec) so all cameras sharing a resolution share one
@@ -152,7 +156,8 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine):
     origin, dirs = eye_rays_from(cam_vec, w, h)
     if perm is not None:
         dirs = dirs[perm]
-    color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine)
+    color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
+                        bfc=bfc)
     if inv is not None:
         color = color[inv]
     return color.reshape(h, w, 3)
@@ -165,6 +170,7 @@ def render_camera(
     bvh=None,
     engine: str = "auto",
     chunk: int = 1 << 22,
+    bfc: bool = False,
 ):
     """Render one camera to an (H, W, 3) float32 radiance image.
 
@@ -201,7 +207,7 @@ def render_camera(
         inv_d = None if inv is None else jnp.asarray(inv)
         return _render_camera_jit(
             data, meta, jnp.asarray(camera_vectors(cam)), cam.height,
-            cam.width, perm_d, inv_d, bvh, engine,
+            cam.width, perm_d, inv_d, bvh, engine, bfc,
         )
     # chunked fallback for frames beyond the per-dispatch ray budget
     origin, dirs = eye_rays(cam)
@@ -218,7 +224,8 @@ def render_camera(
     outs = []
     for s in range(0, r + pad, chunk):
         outs.append(
-            _render_rays_jit(data, meta, origin, dirs[s : s + chunk], bvh, engine)
+            _render_rays_jit(data, meta, origin, dirs[s : s + chunk], bvh,
+                             engine, bfc=bfc)
         )
     color = jnp.concatenate(outs, axis=0)[:r]
     if inv is not None:

@@ -49,7 +49,17 @@ _BIG = jnp.float32(1e18)
 
 
 def _interpret() -> bool:
-    return jax.devices()[0].platform != "tpu"
+    interp = jax.devices()[0].platform != "tpu"
+    if interp:
+        # interpret-mode execution corrupts the jax 0.9 C++ dispatch
+        # cache (see utils.jax_workarounds) — opt out before the first
+        # interpreted kernel is built
+        from raytracer_tpu.utils.jax_workarounds import (
+            disable_cpp_fastpath_caching,
+        )
+
+        disable_cpp_fastpath_caching()
+    return interp
 
 
 # ---------------------------------------------------------------------------
@@ -174,9 +184,12 @@ def _compact(hit, entry, max_list: int):
 # Phase 2: dense per-tile cluster intersection (Pallas)
 # ---------------------------------------------------------------------------
 
-def _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri: int):
+def _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri: int,
+                      bfc: bool = False):
     """Wald-form test of one 128-triangle cluster vs the ray tile.
-    Returns (t, ok) of shape (TILE, CLUSTER)."""
+    Returns (t, ok) of shape (TILE, CLUSTER).  With ``bfc`` (a compile-time
+    flag), triangles facing away from the ray (d·n > 0) are culled — the
+    TA's outputs/ golden semantics; the reference itself never culls."""
     row = lambda j: tri_ref[j, pl.ds(s, CLUSTER)][None, :]  # (1, CLUSTER)
     nx, ny, nz = row(0), row(1), row(2)
     w1x, w1y, w1z = row(3), row(4), row(5)
@@ -192,6 +205,8 @@ def _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri: int):
     # comparison below is False, so no lane mask is needed
     del n_tri
     ok = (alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0) & (t >= 0.0)
+    if bfc:
+        ok &= nd < 0.0
     return t, ok
 
 
@@ -298,6 +313,7 @@ def _closest_kernel(
     bt_out, bs_out,                                   # VMEM outputs
     bt, bs,                                           # VMEM scratch
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
+    bfc: bool = False,
 ):
     base = pl.program_id(0) * TPB
 
@@ -309,7 +325,8 @@ def _closest_kernel(
 
         def tri_body(k):
             s = k * CLUSTER
-            t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
+            t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz,
+                                      n_tri, bfc=bfc)
             t = jnp.where(ok, t, jnp.inf)
             tmin = jnp.min(t, axis=1, keepdims=True)
             j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
@@ -351,6 +368,7 @@ def _any_kernel(
     found_out,
     fnd,
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
+    bfc: bool = False,
 ):
     base = pl.program_id(0) * TPB
 
@@ -361,7 +379,8 @@ def _any_kernel(
 
         def tri_body(k):
             s = k * CLUSTER
-            t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz, n_tri)
+            t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz,
+                                      n_tri, bfc=bfc)
             hit = ok & (t < tmax)
             fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
@@ -393,9 +412,9 @@ def _common_dims(dirs, tri_dat, sph_dat):
     return r, nt, pt, pt // CLUSTER, ps, ps // CLUSTER
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
+@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph", "bfc"))
 def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
-                          n_tri: int, n_sph: int):
+                          n_tri: int, n_sph: int, bfc: bool = False):
     r = dirs.shape[0]
     nt = r // TILE
     if nt > MAX_NT:
@@ -405,7 +424,7 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
             bt, bs = _cluster_closest_call(
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
-                tri_dat, sph_dat, n_tri, n_sph,
+                tri_dat, sph_dat, n_tri, n_sph, bfc,
             )
             bts.append(bt); bss.append(bs)
         return jnp.concatenate(bts), jnp.concatenate(bss)
@@ -415,7 +434,7 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
-        wt=wt, ws=ws,
+        wt=wt, ws=ws, bfc=bfc,
     )
     bundle = jnp.concatenate([
         origin.T, jnp.zeros((1, r), jnp.float32),
@@ -451,9 +470,9 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
     return bt.reshape(r), bs.reshape(r)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
+@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph", "bfc"))
 def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
-                      n_tri: int, n_sph: int):
+                      n_tri: int, n_sph: int, bfc: bool = False):
     r = dirs.shape[0]
     nt = r // TILE
     if nt > MAX_NT:
@@ -464,6 +483,7 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
                 t_max[s * TILE : e * TILE], tri_dat, sph_dat, n_tri, n_sph,
+                bfc,
             ))
         return jnp.concatenate(outs)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
@@ -472,7 +492,7 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
-        wt=wt, ws=ws,
+        wt=wt, ws=ws, bfc=bfc,
     )
     bundle = jnp.concatenate([
         origin.T, t_max.reshape(1, r),
@@ -533,7 +553,7 @@ def _pad_rays(origin, dirs, *extras):
 
 
 def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
-                    active=None):
+                    active=None, bfc: bool = False):
     """Closest hit over the tiled wavefront. Returns global prim ids (R,)."""
     del data  # geometry lives in cset
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
@@ -547,13 +567,13 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
     )
     _, slot = _cluster_closest_call(
         thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
-        cset.n_tri, cset.n_sph,
+        cset.n_tri, cset.n_sph, bfc,
     )
     return _slot_to_prim(cset, slot)[:r]
 
 
 def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
-                        active=None):
+                        active=None, bfc: bool = False):
     """Closest hit WITH shading info, via the kernel's (t, slot) and the
     per-slot tables — the fast forward path (no per-primitive re-derive).
 
@@ -571,7 +591,7 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     )
     t, slot = _cluster_closest_call(
         thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
-        cset.n_tri, cset.n_sph,
+        cset.n_tri, cset.n_sph, bfc,
     )
     t, slot = t[:r], slot[:r]
     origin, dirs = origin[:r], dirs[:r]
@@ -599,7 +619,7 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
 
 
 def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
-                active=None):
+                active=None, bfc: bool = False):
     """Shadow any-hit: True where some accepted hit has t < t_max."""
     del data
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
@@ -614,5 +634,5 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     )
     return _cluster_any_call(
         thit, shit, origin, dirs, t_max[:, None],
-        cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph,
+        cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
     )[:r]

@@ -55,12 +55,19 @@ def _det3(u, v, w):
     )
 
 
-def tri_intersect(origin, direction, a, b, c):
+def tri_intersect(origin, direction, a, b, c, bfc: bool = False):
     """Ray-triangle test (Cramer / Möller-Trumbore-equivalent).
 
     Args broadcast: origin/direction (..., 3), a/b/c (..., 3).
     Returns (t, exists): t is valid only where exists.
     Differentiable in all float inputs; `exists` is a discrete mask.
+
+    ``bfc=True`` culls backfaces: det_a = det(a-b, a-c, d) equals
+    ((b-a)x(c-a))·d = n·d, so a triangle whose precomputed normal points
+    along the ray (det_a > 0) is skipped.  The reference code does NOT
+    cull (raytracer.cpp:129-175, matching outputs_nobfc/); the flag
+    exists for comparisons against the TA's culled goldens (outputs/,
+    outputs_nobfc/README.txt).
     """
     ab = a - b
     ac = a - c
@@ -71,6 +78,8 @@ def tri_intersect(origin, direction, a, b, c):
     t = _det3(ab, ac, ao) / det_a
     alpha = 1.0 - beta - gamma
     exists = (alpha >= 0) & (beta >= 0) & (gamma >= 0) & (t >= 0)
+    if bfc:
+        exists &= det_a < 0
     return t, exists
 
 

@@ -37,6 +37,16 @@ from raytracer_tpu.ops.intersect import dot, normalize
 SPEC_GATE_DEG = 90.01
 RAD_TO_DEG = 180.0 / 3.1415  # reference's literal pi (raytracer.cpp:411)
 
+# A light strictly behind the surface contributes nothing: diffuse clamps
+# at 0 and the specular gate (theta_deg <= SPEC_GATE_DEG) closes once
+# cos_theta < cos(SPEC_GATE_DEG / RAD_TO_DEG) ≈ -1.282e-4 (the literal
+# 3.1415 maps 90° slightly below pi/2, so the gate reaches only ~1.28e-4
+# rad past it).  DERIVED from the gate constants, minus a safety epsilon
+# so float noise in cos_theta can never skip a ray the gate would accept.
+import math as _math
+
+RELEVANT_COS = float(_math.cos(SPEC_GATE_DEG / RAD_TO_DEG)) - 5e-5
+
 
 class Hit(NamedTuple):
     hit: jnp.ndarray      # (R,)  bool
@@ -154,12 +164,11 @@ def shade_local(
 
     cos_theta = dot(sdir_real, h.normal[:, None, :])        # (R, L)
 
-    # a light strictly behind the surface contributes NOTHING: diffuse is
-    # clamped at 0 and the specular gate (acos deg <= 90.01, i.e.
-    # cos >= -1.7453e-4) is closed — skip its shadow ray entirely.  The
-    # reference traces it anyway (raytracer.cpp:399-425) but the result
-    # cannot differ.
-    relevant = cos_theta >= -1.8e-4                          # (R, L)
+    # a light strictly behind the surface contributes NOTHING (see
+    # RELEVANT_COS above) — skip its shadow ray entirely.  The reference
+    # traces it anyway (raytracer.cpp:399-425) but the result cannot
+    # differ.
+    relevant = cos_theta >= RELEVANT_COS                     # (R, L)
 
     # Occlusion is tested on the UNNORMALIZED segment d = light - origin
     # with t_max = 1: mathematically identical to the reference's

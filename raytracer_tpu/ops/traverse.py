@@ -49,13 +49,15 @@ def _gather_tris(data: SceneData):
     return data.vertices[v[:, 0]], data.vertices[v[:, 1]], data.vertices[v[:, 2]]
 
 
-def _tri_chunk_test(tri_abc, tri_valid, origin, dirs, start, size: int):
+def _tri_chunk_test(tri_abc, tri_valid, origin, dirs, start, size: int,
+                    bfc: bool = False):
     """Test rays against triangles [start, start+size) (start may be traced).
     Returns (t, ok, ids) of shape (R, size) / (size,)."""
     a, b, c = (jax.lax.dynamic_slice_in_dim(x, start, size, axis=0) for x in tri_abc)
     valid = jax.lax.dynamic_slice_in_dim(tri_valid, start, size, axis=0)
     t, ok = tri_intersect(
-        origin[..., None, :], dirs[..., None, :], a[None], b[None], c[None]
+        origin[..., None, :], dirs[..., None, :], a[None], b[None], c[None],
+        bfc=bfc,
     )
     ids = (start + jnp.arange(size)).astype(jnp.int32)
     return t, ok & valid[None], ids
@@ -84,7 +86,8 @@ def _chunk_starts(total: int, chunk: int):
     return starts, chunk
 
 
-def brute_closest(data: SceneData, origin, dirs, chunk: int = 512):
+def brute_closest(data: SceneData, origin, dirs, chunk: int = 512,
+                  bfc: bool = False):
     """Dense closest hit. Returns prim ids (R,), -1 on miss.
 
     Scanned over fixed-size primitive chunks with a running (t, prim)
@@ -113,7 +116,7 @@ def brute_closest(data: SceneData, origin, dirs, chunk: int = 512):
     if starts is not None:
         def tri_step(best, start):
             t, ok, ids = _tri_chunk_test(
-                tri_abc, data.tri_valid, origin, dirs, start, csize
+                tri_abc, data.tri_valid, origin, dirs, start, csize, bfc=bfc
             )
             return chunk_min(best, t, ok, ids), None
         best, _ = jax.lax.scan(tri_step, best, starts)
@@ -128,7 +131,8 @@ def brute_closest(data: SceneData, origin, dirs, chunk: int = 512):
     return best[1]
 
 
-def brute_any(data: SceneData, origin, dirs, t_max, chunk: int = 512):
+def brute_any(data: SceneData, origin, dirs, t_max, chunk: int = 512,
+              bfc: bool = False):
     """Dense any-hit: True where some primitive has an accepted hit with
     t < t_max (shadow occlusion semantics, raytracer.cpp:227-253)."""
     origin = jax.lax.stop_gradient(origin)
@@ -142,7 +146,7 @@ def brute_any(data: SceneData, origin, dirs, t_max, chunk: int = 512):
     if starts is not None:
         def tri_step(found, start):
             t, ok, _ = _tri_chunk_test(
-                tri_abc, data.tri_valid, origin, dirs, start, csize
+                tri_abc, data.tri_valid, origin, dirs, start, csize, bfc=bfc
             )
             return found | jnp.any(ok & (t < t_max[:, None]), axis=-1), None
         found, _ = jax.lax.scan(tri_step, found, starts)
@@ -157,7 +161,7 @@ def brute_any(data: SceneData, origin, dirs, t_max, chunk: int = 512):
     return found
 
 
-def _prim_test(data: SceneData, origin, dirs, p):
+def _prim_test(data: SceneData, origin, dirs, p, bfc: bool = False):
     """Test each ray against its own primitive id p (R,). Returns (t, ok)."""
     t_pad = data.tri_v.shape[0]
     s_pad = data.sphere_cvid.shape[0]
@@ -167,7 +171,7 @@ def _prim_test(data: SceneData, origin, dirs, p):
     a = data.vertices[v[:, 0]]
     b = data.vertices[v[:, 1]]
     c = data.vertices[v[:, 2]]
-    t_tri, ok_tri = tri_intersect(origin, dirs, a, b, c)
+    t_tri, ok_tri = tri_intersect(origin, dirs, a, b, c, bfc=bfc)
     si = jnp.clip(p - t_pad, 0, s_pad - 1)
     center = data.vertices[data.sphere_cvid[si]]
     rad = data.sphere_rad[si]
@@ -177,7 +181,8 @@ def _prim_test(data: SceneData, origin, dirs, p):
     return t, ok
 
 
-def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool):
+def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool,
+              bfc: bool = False):
     """Shared lockstep skip-walk. closest=True → closest-hit with t-pruning;
     False → any-hit with early per-ray termination at t < t_max."""
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
@@ -205,7 +210,7 @@ def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool):
         # --- leaf-primitive step (one primitive per iteration per ray)
         ci = jnp.clip(cursor, 0, p_total - 1)
         p = bvh.prim_idx[ci]
-        t_p, ok_p = _prim_test(data, origin, dirs, p)
+        t_p, ok_p = _prim_test(data, origin, dirs, p, bfc=bfc)
         if closest:
             upd = in_leaf & ok_p & (t_p < best_t)
             best_t = jnp.where(upd, t_p, best_t)
@@ -239,37 +244,39 @@ def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool):
     return best_p, done
 
 
-def bvh_closest(data: SceneData, bvh: BVH, origin, dirs):
-    best_p, _ = _bvh_walk(data, bvh, origin, dirs, None, closest=True)
+def bvh_closest(data: SceneData, bvh: BVH, origin, dirs, bfc: bool = False):
+    best_p, _ = _bvh_walk(data, bvh, origin, dirs, None, closest=True, bfc=bfc)
     return best_p
 
 
-def bvh_any(data: SceneData, bvh: BVH, origin, dirs, t_max):
+def bvh_any(data: SceneData, bvh: BVH, origin, dirs, t_max, bfc: bool = False):
     t_max = jax.lax.stop_gradient(t_max)
-    _, done = _bvh_walk(data, bvh, origin, dirs, t_max, closest=False)
+    _, done = _bvh_walk(data, bvh, origin, dirs, t_max, closest=False, bfc=bfc)
     return done
 
 
-def closest_hit(data: SceneData, origin, dirs, accel, engine: str, active=None):
+def closest_hit(data: SceneData, origin, dirs, accel, engine: str, active=None,
+                bfc: bool = False):
     """Dispatch closest hit. engine in {'brute', 'bvh', 'cluster'}."""
     if engine == "bvh":
         assert accel is not None, "bvh engine requires a built BVH"
-        return bvh_closest(data, accel, origin, dirs)
+        return bvh_closest(data, accel, origin, dirs, bfc=bfc)
     if engine == "cluster":
         from raytracer_tpu.ops.cluster_trace import cluster_closest
 
         assert accel is not None, "cluster engine requires a built ClusterSet"
-        return cluster_closest(data, accel, origin, dirs, active=active)
-    return brute_closest(data, origin, dirs)
+        return cluster_closest(data, accel, origin, dirs, active=active, bfc=bfc)
+    return brute_closest(data, origin, dirs, bfc=bfc)
 
 
-def any_hit(data: SceneData, origin, dirs, t_max, accel, engine: str, active=None):
+def any_hit(data: SceneData, origin, dirs, t_max, accel, engine: str, active=None,
+            bfc: bool = False):
     if engine == "bvh":
         assert accel is not None, "bvh engine requires a built BVH"
-        return bvh_any(data, accel, origin, dirs, t_max)
+        return bvh_any(data, accel, origin, dirs, t_max, bfc=bfc)
     if engine == "cluster":
         from raytracer_tpu.ops.cluster_trace import cluster_any
 
         assert accel is not None, "cluster engine requires a built ClusterSet"
-        return cluster_any(data, accel, origin, dirs, t_max, active=active)
-    return brute_any(data, origin, dirs, t_max)
+        return cluster_any(data, accel, origin, dirs, t_max, active=active, bfc=bfc)
+    return brute_any(data, origin, dirs, t_max, bfc=bfc)

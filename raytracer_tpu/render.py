@@ -33,6 +33,10 @@ def main(argv=None) -> None:
                          "reference; mean: float mean before quantization")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
+    ap.add_argument("--bfc", action="store_true",
+                    help="cull backfacing triangles (the TA outputs/ golden "
+                         "semantics; the reference code never culls, "
+                         "matching outputs_nobfc/)")
     ap.add_argument("--chunk", type=int, default=1 << 22,
                     help="rays per device dispatch")
     ap.add_argument("--out-dir", default=".", help="output directory")
@@ -83,7 +87,7 @@ def main(argv=None) -> None:
                       f"({rcam.width}x{rcam.height}, engine={args.engine})...")
                 t2 = time.perf_counter()
                 color = render_camera(data, meta, rcam, bvh=accel, engine=args.engine,
-                                      chunk=args.chunk)
+                                      chunk=args.chunk, bfc=args.bfc)
                 if args.ssaa > 1:
                     if args.ssaa_mode == "parity":
                         img = downsample_parity(quantize(color), args.ssaa)

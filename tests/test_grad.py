@@ -31,13 +31,32 @@ def simple_scene(reference_inputs):
     return data, meta, jnp.asarray(origin), jnp.asarray(dirs)
 
 
-def _loss_fn(data, meta, origin, dirs, weights, ray_mask):
-    color = render_rays(data, meta, origin, dirs, engine="brute",
+@pytest.fixture(scope="module")
+def accels(simple_scene):
+    """Per-engine acceleration structures for the FD matrix."""
+    from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.clusters import build_clusters
+
+    data, meta, _, _ = simple_scene
+    bvh = build_bvh(data, meta)
+    clusters = build_clusters(data, meta, bvh)
+    # numpy -> jnp so unjitted jax.grad traces can index them
+    return jax.tree.map(jnp.asarray, {
+        "brute": None,
+        "bvh": bvh,
+        "cluster": clusters,
+    })
+
+
+def _loss_fn(data, meta, origin, dirs, weights, ray_mask, engine="brute",
+             accel=None):
+    color = render_rays(data, meta, origin, dirs, bvh=accel, engine=engine,
                         differentiable=True)
     return jnp.sum(color * weights * ray_mask[:, None])
 
 
-def _fd_check(simple_scene, field, index, eps, rtol, atol=1e-4):
+def _fd_check(simple_scene, field, index, eps, rtol, atol=1e-4,
+              engine="brute", accel=None):
     data, meta, origin, dirs = simple_scene
     rng = np.random.default_rng(3)
     weights = jnp.asarray(rng.uniform(0.5, 1.0, (dirs.shape[0], 3)), jnp.float32)
@@ -55,21 +74,27 @@ def _fd_check(simple_scene, field, index, eps, rtol, atol=1e-4):
     assert int(stable.sum()) > 0
 
     def loss_of(d):
-        return float(_loss_fn(d, meta, origin, dirs, weights, stable))
+        return float(_loss_fn(d, meta, origin, dirs, weights, stable,
+                              engine=engine, accel=accel))
 
     fd = (loss_of(perturbed(eps)) - loss_of(perturbed(-eps))) / (2 * eps)
 
     def loss_wrt(arr):
         d = dataclasses.replace(data, **{field: arr})
-        return _loss_fn(d, meta, origin, dirs, weights, stable)
+        return _loss_fn(d, meta, origin, dirs, weights, stable,
+                        engine=engine, accel=accel)
 
     g = np.asarray(jax.grad(loss_wrt)(getattr(data, field)))[index]
     assert np.isfinite(g)
     np.testing.assert_allclose(g, fd, rtol=rtol, atol=atol)
 
 
-def test_grad_diffuse_fd(simple_scene):
-    _fd_check(simple_scene, "mat_diffuse", (0, 1), eps=1e-2, rtol=2e-2)
+@pytest.mark.parametrize("engine", ["brute", "bvh", "cluster"])
+def test_grad_diffuse_fd(simple_scene, accels, engine):
+    """FD through every engine, including the flagship cluster path
+    (whitted.py -> refine_hit with cluster-produced hit ids)."""
+    _fd_check(simple_scene, "mat_diffuse", (0, 1), eps=1e-2, rtol=2e-2,
+              engine=engine, accel=accels[engine])
 
 
 def test_grad_light_intensity_fd(simple_scene):
@@ -84,9 +109,15 @@ def test_grad_sphere_radius_fd(simple_scene):
     _fd_check(simple_scene, "sphere_rad", (0,), eps=1e-3, rtol=5e-2, atol=2e-2)
 
 
-def test_grad_vertex_fd(simple_scene):
-    # vertex 0 belongs to scene geometry; stability mask strips silhouettes
-    _fd_check(simple_scene, "vertices", (0, 2), eps=1e-3, rtol=5e-2, atol=2e-2)
+@pytest.mark.parametrize("engine", ["brute", "bvh", "cluster"])
+def test_grad_vertex_fd(simple_scene, accels, engine):
+    # vertex 0 belongs to scene geometry; stability mask strips silhouettes.
+    # Note for bvh/cluster: the accel is built from UNPERTURBED geometry on
+    # purpose — visibility ids are stop_gradient'ed (fixed-hit-topology
+    # convention) and the stability mask keeps only rays whose topology is
+    # invariant, so FD and analytic grads both flow through refine_hit.
+    _fd_check(simple_scene, "vertices", (0, 2), eps=1e-3, rtol=5e-2,
+              atol=2e-2, engine=engine, accel=accels[engine])
 
 
 def test_grads_finite_everywhere(simple_scene):
@@ -106,10 +137,13 @@ def test_grads_finite_everywhere(simple_scene):
         assert bool(jnp.isfinite(g).all()), f"non-finite grad in {name}"
 
 
-def test_inverse_rendering_recovers_diffuse(simple_scene):
-    """Adam on the image loss recovers a perturbed diffuse albedo."""
+@pytest.mark.parametrize("engine", ["brute", "cluster"])
+def test_inverse_rendering_recovers_diffuse(simple_scene, accels, engine):
+    """Adam on the image loss recovers a perturbed diffuse albedo —
+    through the brute AND the flagship cluster engine."""
     data, meta, origin, dirs = simple_scene
-    target = render_rays(data, meta, origin, dirs, engine="brute")
+    accel = accels[engine]
+    target = render_rays(data, meta, origin, dirs, bvh=accel, engine=engine)
 
     bad = dataclasses.replace(
         data, mat_diffuse=data.mat_diffuse * 0.3 + 0.05
@@ -123,7 +157,7 @@ def test_inverse_rendering_recovers_diffuse(simple_scene):
         def loss(p):
             color = render_rays(
                 dataclasses.replace(data, **p), meta, origin, dirs,
-                engine="brute", differentiable=True,
+                bvh=accel, engine=engine, differentiable=True,
             )
             return jnp.mean((color - target) ** 2)
 

@@ -47,12 +47,15 @@ def test_specular_gate_constants():
     """Quirk 3 (raytracer.cpp:411): the gate uses the literal 3.1415 (not
     pi) and 90.01 degrees — the effective cos threshold is a tiny negative
     number (-1.28e-4), and the zero-contribution shadow skip margin
-    (-1.8e-4, ops/shade.py) must stay strictly below it to be sound."""
+    (RELEVANT_COS, derived from the same constants minus a safety epsilon)
+    must stay strictly below it to be sound."""
+    from raytracer_tpu.ops.shade import RELEVANT_COS
+
     assert SPEC_GATE_DEG == 90.01
     assert abs(RAD_TO_DEG - 180.0 / 3.1415) < 1e-12
     cos_threshold = np.cos(SPEC_GATE_DEG / RAD_TO_DEG)
     assert -2e-4 < cos_threshold < 0
-    assert -1.8e-4 < cos_threshold  # skip margin is conservative
+    assert RELEVANT_COS < cos_threshold  # skip margin is conservative
 
 
 def test_ambient_added_every_bounce(reference_inputs):
