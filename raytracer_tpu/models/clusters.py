@@ -86,22 +86,63 @@ def _pad_to_multiple(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+def _treelet_slots(bvh: BVH, max_size: int) -> np.ndarray:
+    """Treelet partition of the BVH's preorder primitive sequence.
+
+    Returns slot_of_prim (P,): for preorder position p, the padded slot
+    index it occupies.  Greedy top-down: the largest subtrees holding
+    <= max_size primitives become clusters (their preorder prim ranges are
+    contiguous by construction), so cluster boxes are REAL BVH subtree
+    boxes instead of arbitrary 128-strides — 2.6x fewer per-ray box
+    crossings on horse_and_mug at the cost of ~1.65x more clusters.
+    Oversized depth-19 leaves fall back to max_size chunks.
+    """
+    counts = np.asarray(bvh.leaf_count, np.int64)
+    skip = np.asarray(bvh.skip, np.int64)
+    n = counts.shape[0]
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=cum[1:])  # cum[i] = prims before node i (preorder)
+    ranges = []  # (lo, hi) prim ranges, preorder-ascending
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        lo, hi = cum[i], cum[skip[i]]
+        if hi <= lo:
+            continue
+        if hi - lo <= max_size or counts[i] > 0:
+            for s in range(lo, hi, max_size):  # leaf larger than max_size
+                ranges.append((s, min(s + max_size, hi)))
+        else:  # inner: left = i+1, right = skip[i+1]; pop order keeps preorder
+            stack.append(skip[i + 1])
+            stack.append(i + 1)
+    slot = np.zeros(cum[n], np.int64)
+    base = 0
+    for lo, hi in ranges:
+        slot[lo:hi] = base + np.arange(hi - lo)
+        base += CLUSTER * (-(-(hi - lo) // CLUSTER))
+    return slot
+
+
 def build_clusters(
     data: SceneData,
     meta: SceneMeta,
     bvh: Optional[BVH] = None,
+    treelet: bool = False,
 ) -> ClusterSet:
     """Host-side build from (numpy-convertible) scene arrays.
 
     If a BVH is given, its reordered preorder primitive sequence provides
     the spatial clustering; otherwise file order is used (fine for tiny
-    scenes).
+    scenes).  ``treelet=True`` aligns triangle-cluster boundaries to BVH
+    subtrees (tighter boxes, more clusters) — pays when the ray wavefront
+    is surface-sorted so tile shortlist unions track per-ray crossings.
     """
     verts = np.asarray(data.vertices, np.float32)
     tri_v = np.asarray(data.tri_v, np.int64)
     t_pad = tri_v.shape[0]
     n_tri, n_sph = meta.n_tris, meta.n_spheres
 
+    tri_pos = None  # padded slot per triangle (in tri_order order)
     if bvh is not None:
         order = np.asarray(bvh.prim_idx, np.int64)
         tri_order = order[order < t_pad][:n_tri]
@@ -110,12 +151,28 @@ def build_clusters(
             tri_order = np.arange(n_tri, dtype=np.int64)
         if sph_order.shape[0] != n_sph:
             sph_order = np.arange(n_sph, dtype=np.int64)
+        if treelet and n_tri:
+            # treelet partition over the FULL prim sequence, then projected
+            # to triangles: a range's spheres are dropped from it (spheres
+            # keep their own simple run clustering below), leaving gaps
+            # that stay padded slots
+            slot_all = _treelet_slots(bvh, CLUSTER)
+            tri_pos = slot_all[np.asarray(order < t_pad).nonzero()[0][:n_tri]]
     else:
         tri_order = np.arange(n_tri, dtype=np.int64)
         sph_order = np.arange(n_sph, dtype=np.int64)
 
     # --- triangles in Wald projection form
-    Pt = _pad_to_multiple(n_tri, CLUSTER)
+    if tri_pos is None:
+        tri_pos = np.arange(n_tri, dtype=np.int64)
+    if n_tri:
+        # compact away clusters that ended up with no triangles (treelet
+        # ranges whose primitives were all spheres)
+        used = np.zeros((int(tri_pos.max()) // CLUSTER + 1,), bool)
+        used[tri_pos // CLUSTER] = True
+        remap = np.cumsum(used) - 1
+        tri_pos = remap[tri_pos // CLUSTER] * CLUSTER + tri_pos % CLUSTER
+    Pt = _pad_to_multiple(int(tri_pos.max()) + 1 if n_tri else 0, CLUSTER)
     tri_dat = np.zeros((12, Pt), np.float32)
     tri_slot = np.zeros((Pt,), np.int32)
     if n_tri:
@@ -130,13 +187,13 @@ def build_clusters(
         nn = np.where(nn == 0.0, 1.0, nn)  # degenerate tris can never hit
         w1 = np.cross(e2, n) / nn
         w2 = np.cross(n, e1) / nn
-        tri_dat[0:3, :n_tri] = n.T
-        tri_dat[3:6, :n_tri] = w1.T
-        tri_dat[6:9, :n_tri] = w2.T
-        tri_dat[9, :n_tri] = (n * a).sum(-1)
-        tri_dat[10, :n_tri] = (w1 * a).sum(-1)
-        tri_dat[11, :n_tri] = (w2 * a).sum(-1)
-        tri_slot[:n_tri] = tri_order.astype(np.int32)
+        tri_dat[0:3, tri_pos] = n.T
+        tri_dat[3:6, tri_pos] = w1.T
+        tri_dat[6:9, tri_pos] = w2.T
+        tri_dat[9, tri_pos] = (n * a).sum(-1)
+        tri_dat[10, tri_pos] = (w1 * a).sum(-1)
+        tri_dat[11, tri_pos] = (w2 * a).sum(-1)
+        tri_slot[tri_pos] = tri_order.astype(np.int32)
 
     Ct = Pt // CLUSTER
     tri_cmin = np.full((Ct, 3), np.inf, np.float32)
@@ -146,11 +203,9 @@ def build_clusters(
         corners = verts[v]  # (n_tri, 3, 3)
         pmin = corners.min(axis=1)
         pmax = corners.max(axis=1)
-        for ci in range(Ct):
-            s, e = ci * CLUSTER, min((ci + 1) * CLUSTER, n_tri)
-            if s < e:
-                tri_cmin[ci] = pmin[s:e].min(axis=0)
-                tri_cmax[ci] = pmax[s:e].max(axis=0)
+        ci_of = tri_pos // CLUSTER
+        np.minimum.at(tri_cmin, ci_of, pmin)
+        np.maximum.at(tri_cmax, ci_of, pmax)
 
     # --- spheres
     Ps = _pad_to_multiple(n_sph, CLUSTER)
@@ -181,8 +236,8 @@ def build_clusters(
         c32 = verts[v[:, 2]]
         n32 = np.cross(b32 - a32, c32 - a32).astype(np.float32)
         norm = np.linalg.norm(n32, axis=-1, keepdims=True)
-        slot_pack[:n_tri, 0:3] = n32 / norm  # f32 like raytracer.cpp:342-348
-        slot_pack[:n_tri, 4] = tri_mat[tri_order]
+        slot_pack[tri_pos, 0:3] = n32 / norm  # f32 like raytracer.cpp:342-348
+        slot_pack[tri_pos, 4] = tri_mat[tri_order]
     if n_sph:
         slot_pack[Pt : Pt + n_sph, 0:3] = centers
         slot_pack[Pt : Pt + n_sph, 3] = radii

@@ -163,6 +163,87 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
     return color.reshape(h, w, 3)
 
 
+@partial(jax.jit, static_argnames=(
+    "meta", "h", "w", "band_h", "engine", "bfc", "ssaa", "ssaa_mode"))
+def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
+                     bvh, engine, bfc, ssaa, ssaa_mode):
+    """One streamed row band: eye rays for rows [row0, row0+band_h) at the
+    SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8.
+    ``row0`` is traced, so every equal-height band shares one compile."""
+    from raytracer_tpu.ops.camera import eye_rays_band
+    from raytracer_tpu.ops.image import (
+        downsample_mean, downsample_parity, quantize,
+    )
+
+    origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h)
+    if perm is not None:
+        dirs = dirs[perm]
+    color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
+                        bfc=bfc)
+    if inv is not None:
+        color = color[inv]
+    color = color.reshape(band_h, w, 3)
+    if ssaa <= 1:
+        return quantize(color)
+    if ssaa_mode == "parity":
+        return downsample_parity(quantize(color), ssaa)
+    return quantize(downsample_mean(color, ssaa))
+
+
+def render_camera_streamed(
+    data: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    bvh=None,
+    engine: str = "auto",
+    chunk: int = 1 << 22,
+    bfc: bool = False,
+    ssaa: int = 1,
+    ssaa_mode: str = "parity",
+):
+    """Render one camera to a final-resolution (H, W, 3) uint8 image by
+    streaming ROW BANDS of the SSAA-scaled frame through the device.
+
+    Unlike ``render_camera`` (whole-frame float radiance), ray state never
+    exceeds one band (~``chunk`` rays): a 256x-SSAA horse_and_mug frame is
+    265M rays — 3.2 GB of directions if materialized at once (the
+    reference simply allocates the scaled Pixel buffer,
+    raytracer.cpp:506-512).  Bands keep the scaled-resolution pixel-tile
+    coherence that the cluster kernel's shortlists depend on, and the SSAA
+    reduction runs per band on device so only uint8 leaves the band loop.
+    """
+    from raytracer_tpu.models.clusters import ClusterSet
+    from raytracer_tpu.ops.camera import camera_vectors
+    from raytracer_tpu.ops.tiling import block_permutation
+
+    if engine == "auto":
+        if isinstance(bvh, ClusterSet):
+            engine = "cluster"
+        elif bvh is not None and meta.n_tris + meta.n_spheres > 64:
+            engine = "bvh"
+        else:
+            engine = "brute"
+    hs, ws = cam.height * ssaa, cam.width * ssaa
+    lcm = 16 * ssaa // np.gcd(16, ssaa)
+    band_h = max(lcm, (chunk // ws) // lcm * lcm)
+    cam_vec = jnp.asarray(camera_vectors(cam))
+    bands = []
+    row0 = 0
+    while row0 < hs:
+        bh = min(band_h, hs - row0)  # trailing band may be shorter
+        if engine == "cluster":
+            p, i = block_permutation(bh, ws, 16, 16)
+            p, i = jnp.asarray(p), jnp.asarray(i)
+        else:
+            p = i = None
+        bands.append(_render_band_jit(
+            data, meta, cam_vec, hs, ws, jnp.float32(row0), bh, p, i,
+            bvh, engine, bfc, ssaa, ssaa_mode,
+        ))
+        row0 += bh
+    return jnp.concatenate(bands, axis=0)
+
+
 def render_camera(
     data: SceneData,
     meta: SceneMeta,

@@ -176,6 +176,10 @@ def shade_local(
     # tile shortlist's direction interval becomes exactly light - o_box,
     # preserving the origin<->direction correlation that normalization
     # destroys (~2x tighter shadow candidate lists).
+    # (A light-side reversal of the segment was measured and REJECTED:
+    # segment occlusion is symmetric, but the changed rounding flips a
+    # band of grazing-occluder pixels near wall corners — cornellbox MSE
+    # vs golden 4 -> 22 — so the reference's surface-side origin stays.)
     org_flat = jnp.broadcast_to(h.offset[:, None, :], (r, nl, 3))
     occ = occluded_fn(
         org_flat.transpose(1, 0, 2).reshape(nl * r, 3),

@@ -88,4 +88,7 @@ def render_camera_sharded(
     if bvh is not None:
         bvh = jax.device_put(bvh, replicated(mesh))
     color = render_rays_sharded(data, meta, origin, dirs, mesh, bvh=bvh, engine=engine)
-    return np.asarray(color)[:r].reshape(cam.height, cam.width, 3)
+    from raytracer_tpu.parallel.distributed import assemble_image
+
+    # per-host tile gather (works multi-process, unlike a bare np.asarray)
+    return assemble_image(color)[:r].reshape(cam.height, cam.width, 3)

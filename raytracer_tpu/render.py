@@ -86,15 +86,28 @@ def main(argv=None) -> None:
                 print(f"Rendering {cam.image_name} "
                       f"({rcam.width}x{rcam.height}, engine={args.engine})...")
                 t2 = time.perf_counter()
-                color = render_camera(data, meta, rcam, bvh=accel, engine=args.engine,
-                                      chunk=args.chunk, bfc=args.bfc)
-                if args.ssaa > 1:
-                    if args.ssaa_mode == "parity":
-                        img = downsample_parity(quantize(color), args.ssaa)
-                    else:
-                        img = quantize(downsample_mean(color, args.ssaa))
+                if rcam.width * rcam.height > args.chunk:
+                    # row-band streaming: ray state stays ~chunk-sized and
+                    # the SSAA reduction runs on device per band (needed
+                    # for e.g. 256x SSAA = 265M rays / 3.2 GB of dirs)
+                    from raytracer_tpu.models.whitted import render_camera_streamed
+
+                    img = render_camera_streamed(
+                        data, meta, cam, bvh=accel, engine=args.engine,
+                        chunk=args.chunk, bfc=args.bfc, ssaa=args.ssaa,
+                        ssaa_mode=args.ssaa_mode,
+                    )
                 else:
-                    img = quantize(color)
+                    color = render_camera(data, meta, rcam, bvh=accel,
+                                          engine=args.engine,
+                                          chunk=args.chunk, bfc=args.bfc)
+                    if args.ssaa > 1:
+                        if args.ssaa_mode == "parity":
+                            img = downsample_parity(quantize(color), args.ssaa)
+                        else:
+                            img = quantize(downsample_mean(color, args.ssaa))
+                    else:
+                        img = quantize(color)
                 img = np.asarray(img)
                 t3 = time.perf_counter()
                 t_render += t3 - t2
