@@ -50,9 +50,14 @@ def timeit(fn, n=6):
 
 
 def main():
+    from raytracer_tpu.utils.compile_cache import enable
+    enable()
+    treelet = "--treelet" in sys.argv
     data, meta = load_scene("/root/reference/inputs/horse_and_mug.xml")
     bvh = build_bvh(data, meta)
-    cset = jax.device_put(build_clusters(data, meta, bvh))
+    cset = jax.device_put(build_clusters(data, meta, bvh, treelet=treelet))
+    print(json.dumps({"treelet": treelet,
+                      "Ct": int(cset.tri_cmin.shape[0])}), flush=True)
     data = jax.device_put(data)
     cam = meta.cameras[0]
     origin, dirs = eye_rays(cam)

@@ -53,6 +53,9 @@ def main(argv=None) -> None:
     import contextlib
     import os
 
+    from raytracer_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()  # verified to engage through the axon tunnel
     os.makedirs(args.out_dir, exist_ok=True)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)

@@ -20,6 +20,23 @@ import pytest  # noqa: E402
 REFERENCE = "/root/reference"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-veryslow", action="store_true", default=False,
+        help="run the full-resolution 13-scene parity sweeps (tens of "
+             "minutes on CPU; results are recorded in BASELINE.md)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-veryslow"):
+        return
+    skip = pytest.mark.skip(reason="needs --run-veryslow (stats in BASELINE.md)")
+    for item in items:
+        if "veryslow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def reference_inputs():
     path = os.path.join(REFERENCE, "inputs")
