@@ -52,7 +52,11 @@ def timeit(fn, n=6):
 def main():
     from raytracer_tpu.utils.compile_cache import enable
     enable()
-    treelet = "--treelet" in sys.argv
+    for treelet in (False, True):
+        run_variant(treelet)
+
+
+def run_variant(treelet):
     data, meta = load_scene("/root/reference/inputs/horse_and_mug.xml")
     bvh = build_bvh(data, meta)
     cset = jax.device_put(build_clusters(data, meta, bvh, treelet=treelet))
