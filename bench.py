@@ -120,13 +120,17 @@ def main() -> None:
               flush=True)
 
         def big(name, sdata, smeta, saccel, scam, ssaa):
+            def one():
+                out = render_camera_streamed(
+                    sdata, smeta, scam, bvh=saccel, engine="cluster",
+                    chunk=1 << 21, ssaa=ssaa,
+                )
+                s = float(jnp.sum(out.astype(jnp.float32)))
+                assert s == s
+
+            one()  # band-kernel compile (persistent-cached across runs)
             t0 = time.perf_counter()
-            out = render_camera_streamed(
-                sdata, smeta, scam, bvh=saccel, engine="cluster",
-                chunk=1 << 21, ssaa=ssaa,
-            )
-            s = float(jnp.sum(out.astype(jnp.float32)))
-            assert s == s
+            one()
             dt = time.perf_counter() - t0
             r = scam.width * scam.height * ssaa * ssaa
             print(json.dumps({
