@@ -39,6 +39,10 @@ def main(argv=None) -> None:
                          "matching outputs_nobfc/)")
     ap.add_argument("--chunk", type=int, default=1 << 22,
                     help="rays per device dispatch")
+    ap.add_argument("--accel-cache", metavar="PATH", default=None,
+                    help="load acceleration structures from PATH if it "
+                         "exists, else build and save them there (the npz "
+                         "is self-describing; utils/checkpoint.py)")
     ap.add_argument("--out-dir", default=".", help="output directory")
     ap.add_argument("--repeat", type=int, default=1,
                     help="render repetitions for benchmarking")
@@ -69,13 +73,28 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     accel = None
     if args.engine != "brute":
-        bvh = build_bvh(data, meta)
+        cached = None
+        if args.accel_cache and os.path.exists(args.accel_cache):
+            from raytracer_tpu.utils.checkpoint import load_accel
+
+            cached = load_accel(args.accel_cache)
+        if cached is not None:
+            bvh, clusters = cached
+        else:
+            bvh = build_bvh(data, meta)
+            clusters = None
         if args.engine == "bvh":
             accel = jax.device_put(bvh)
         else:  # cluster (and auto's preferred accelerator)
-            from raytracer_tpu.models.clusters import build_clusters
+            if clusters is None:
+                from raytracer_tpu.models.clusters import build_clusters
 
-            accel = jax.device_put(build_clusters(data, meta, bvh))
+                clusters = build_clusters(data, meta, bvh)
+                if args.accel_cache:
+                    from raytracer_tpu.utils.checkpoint import save_accel
+
+                    save_accel(args.accel_cache, bvh, clusters)
+            accel = jax.device_put(clusters)
     t1 = time.perf_counter()
     print(f"Planted trees in {t1 - t0:.3f} seconds.")
     if args.ssaa > 1:

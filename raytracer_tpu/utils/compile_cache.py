@@ -29,6 +29,11 @@ def enable(cache_dir: str | None = None) -> str:
         "RAYTRACER_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "raytracer_tpu", "xla"),
     )
+    if jax.default_backend() == "cpu":
+        # CPU compiles are seconds, and XLA:CPU AOT entries are pinned to
+        # the compiling machine's ISA features (loading them elsewhere
+        # warns about possible SIGILL) — not worth caching
+        return cache_dir
     if not _enabled:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
