@@ -9,7 +9,7 @@ enable()
 from raytracer_tpu.models.bvh import build_bvh
 from raytracer_tpu.models.clusters import build_clusters
 from raytracer_tpu.models.scene import load_scene
-from raytracer_tpu.ops.camera import eye_rays
+from raytracer_tpu.ops.camera import camera_vectors, eye_rays_band
 from raytracer_tpu.ops.cluster_trace import cluster_any, cluster_closest_hit
 from raytracer_tpu.ops.tiling import block_permutation
 from raytracer_tpu.ops.shade import normalize
@@ -34,9 +34,11 @@ def anatomy(tag, scene, ssaa, rows):
     cset = jax.device_put(build_clusters(data, meta, bvh))
     data = jax.device_put(data)
     cam = meta.cameras[0].scaled(ssaa) if ssaa > 1 else meta.cameras[0]
-    cam = dataclasses.replace(cam, height=rows)
-    origin, dirs = eye_rays(cam)
-    perm, inv = block_permutation(cam.height, cam.width, 16, 16)
+    # central row band at the TRUE scaled resolution (correct frustum)
+    origin, dirs = eye_rays_band(jnp.asarray(camera_vectors(cam)),
+                                 cam.width, cam.height,
+                                 jnp.float32(cam.height // 2), rows)
+    perm, inv = block_permutation(rows, cam.width, 16, 16)
     dirs = jnp.asarray(dirs)[jnp.asarray(perm)]
     r = dirs.shape[0]
     nl = meta.n_lights

@@ -75,7 +75,9 @@ class ClusterSet:
     # (ops.shade.refine_hit stays as the differentiable path).  Columns:
     # 0-2 = tri unit geometric normal (normalize((b-a)x(c-a)),
     # raytracer.cpp:342-348) or sphere center; 3 = sphere radius (0 for
-    # tris); 4 = material id (exact small int in f32); 5-7 padding
+    # tris); 4 = material id (exact small int in f32); 5 = global prim id
+    # (tris [0, T), spheres T_pad + s; exact in f32 below 2^24), so the
+    # fast path needs ONE row gather instead of three; 6-7 padding
     slot_pack: Array  # (Pt+Ps, 8) f32
     # static (non-pytree) metadata
     n_tri: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -238,12 +240,14 @@ def build_clusters(
         norm = np.linalg.norm(n32, axis=-1, keepdims=True)
         slot_pack[tri_pos, 0:3] = n32 / norm  # f32 like raytracer.cpp:342-348
         slot_pack[tri_pos, 4] = tri_mat[tri_order]
+        slot_pack[tri_pos, 5] = tri_order
     if n_sph:
         slot_pack[Pt : Pt + n_sph, 0:3] = centers
         slot_pack[Pt : Pt + n_sph, 3] = radii
         slot_pack[Pt : Pt + n_sph, 4] = np.asarray(
             data.sphere_mat, np.int32
         )[sph_order]
+        slot_pack[Pt : Pt + n_sph, 5] = t_pad + sph_order
 
     return ClusterSet(
         tri_dat=tri_dat, tri_slot=tri_slot,

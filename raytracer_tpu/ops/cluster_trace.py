@@ -552,6 +552,57 @@ def _pad_rays(origin, dirs, *extras):
     return (r, origin, dirs) + tuple(out)
 
 
+
+# When a scene has only a handful of spheres (horse_and_mug: 2,
+# cornellbox: 2 — only marbles has many), a full (TILE x 128) sphere
+# cluster visit per tile is ~99% padding.  Below this count the sphere
+# test runs as dense jnp over ALL rays instead (R x n_sph pairs, ~0.2 ms
+# for 2M rays), the kernel sees an empty sphere shortlist, and results
+# merge under the kernel's exact rules (spheres after triangles,
+# strict-< updates, first slot wins ties).  Bitwise-identical math.
+SMALL_SPH = 8
+
+
+def _small_sphere_test(cset: ClusterSet, origin, dirs):
+    """(t, ok) of shape (R, n_sph) via the same quadratic as the kernel."""
+    n = cset.n_sph
+    cx = cset.sph_dat[0, :n][None]
+    cy = cset.sph_dat[1, :n][None]
+    cz = cset.sph_dat[2, :n][None]
+    rad = cset.sph_dat[3, :n][None]
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a_q = dx * dx + dy * dy + dz * dz
+    b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b_q - sq) / (2.0 * a_q)
+    t2 = (-b_q + sq) / (2.0 * a_q)
+    ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+    return t1, ok
+
+
+def _empty_shit(nt: int, cs: int):
+    return (jnp.zeros((nt, cs), bool), jnp.full((nt, cs), jnp.inf))
+
+
+def _merge_small_spheres(cset: ClusterSet, origin, dirs, t_k, slot_k):
+    """Merge kernel (t, slot) with the dense small-sphere test, matching
+    the in-kernel rule: strict < so triangles keep exact-t ties, and the
+    lowest sphere slot wins sphere-sphere ties (argmin -> first min)."""
+    t_s, ok = _small_sphere_test(cset, origin, dirs)
+    t_s = jnp.where(ok, t_s, jnp.inf)
+    j = jnp.argmin(t_s, axis=1)
+    tj = jnp.take_along_axis(t_s, j[:, None], axis=1)[:, 0]
+    t_kv = jnp.where(slot_k >= 0, t_k, jnp.inf)
+    upd = tj < t_kv
+    pt = cset.tri_dat.shape[1]
+    slot = jnp.where(upd, pt + j.astype(jnp.int32), slot_k)
+    return jnp.where(upd, tj, t_k), slot
+
+
 def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
                     active=None, bfc: bool = False):
     """Closest hit over the tiled wavefront. Returns global prim ids (R,)."""
@@ -562,13 +613,19 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
     thit = tile_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
     )
-    shit = tile_cluster_mask(
-        origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
-    )
-    _, slot = _cluster_closest_call(
+    small_sph = 0 < cset.n_sph <= SMALL_SPH
+    if small_sph:
+        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
+    else:
+        shit = tile_cluster_mask(
+            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
+        )
+    t, slot = _cluster_closest_call(
         thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
         cset.n_tri, cset.n_sph, bfc,
     )
+    if small_sph:
+        _, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
     return _slot_to_prim(cset, slot)[:r]
 
 
@@ -586,13 +643,19 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     thit = tile_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
     )
-    shit = tile_cluster_mask(
-        origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
-    )
+    small_sph = 0 < cset.n_sph <= SMALL_SPH
+    if small_sph:
+        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
+    else:
+        shit = tile_cluster_mask(
+            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
+        )
     t, slot = _cluster_closest_call(
         thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
         cset.n_tri, cset.n_sph, bfc,
     )
+    if small_sph:
+        t, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
     t, slot = t[:r], slot[:r]
     origin, dirs = origin[:r], dirs[:r]
     hit = slot >= 0
@@ -615,7 +678,8 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     normal = jnp.where(sph_lane[:, None], n_sphere, aux)
     normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0]))
     offset = point + normal * jnp.float32(shadow_eps)
-    return hit, t, normal, mat, point, offset, _slot_to_prim(cset, slot)
+    prim = jnp.where(hit, pack[:, 5].astype(jnp.int32), MISS)
+    return hit, t, normal, mat, point, offset, prim
 
 
 def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
@@ -629,10 +693,18 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     thit = tile_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, t_max, TILE
     )
-    shit = tile_cluster_mask(
-        origin, dirs, active, cset.sph_cmin, cset.sph_cmax, t_max, TILE
-    )
-    return _cluster_any_call(
+    small_sph = 0 < cset.n_sph <= SMALL_SPH
+    if small_sph:
+        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
+    else:
+        shit = tile_cluster_mask(
+            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, t_max, TILE
+        )
+    occ = _cluster_any_call(
         thit, shit, origin, dirs, t_max[:, None],
         cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
-    )[:r]
+    )
+    if small_sph:
+        t_s, ok = _small_sphere_test(cset, origin, dirs)
+        occ = occ | jnp.any(ok & (t_s < t_max[:, None]), axis=1)
+    return occ[:r]
