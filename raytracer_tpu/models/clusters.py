@@ -79,6 +79,11 @@ class ClusterSet:
     # (tris [0, T), spheres T_pad + s; exact in f32 below 2^24), so the
     # fast path needs ONE row gather instead of three; 6-7 padding
     slot_pack: Array  # (Pt+Ps, 8) f32
+    # verbatim f32 triangle vertices per slot (rows: ax ay az bx by bz cx
+    # cy cz; zero on padding slots).  Source data for the per-light shadow
+    # plane tables (ops.cluster_trace.build_shadow_planes), built on
+    # DEVICE each render so moving lights stay correct in training loops.
+    tri_verts: Array  # (9, Pt) f32
     # static (non-pytree) metadata
     n_tri: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_sph: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -230,6 +235,7 @@ def build_clusters(
 
     # per-slot shading table
     slot_pack = np.zeros((Pt + Ps, 8), np.float32)
+    tri_verts = np.zeros((9, Pt), np.float32)
     tri_mat = np.asarray(data.tri_mat, np.int32)
     if n_tri:
         v = tri_v[tri_order]
@@ -241,6 +247,9 @@ def build_clusters(
         slot_pack[tri_pos, 0:3] = n32 / norm  # f32 like raytracer.cpp:342-348
         slot_pack[tri_pos, 4] = tri_mat[tri_order]
         slot_pack[tri_pos, 5] = tri_order
+        tri_verts[0:3, tri_pos] = a32.T
+        tri_verts[3:6, tri_pos] = b32.T
+        tri_verts[6:9, tri_pos] = c32.T
     if n_sph:
         slot_pack[Pt : Pt + n_sph, 0:3] = centers
         slot_pack[Pt : Pt + n_sph, 3] = radii
@@ -254,6 +263,6 @@ def build_clusters(
         tri_cmin=tri_cmin, tri_cmax=tri_cmax,
         sph_dat=sph_dat, sph_slot=sph_slot,
         sph_cmin=sph_cmin, sph_cmax=sph_cmax,
-        slot_pack=slot_pack,
+        slot_pack=slot_pack, tri_verts=tri_verts,
         n_tri=n_tri, n_sph=n_sph,
     )

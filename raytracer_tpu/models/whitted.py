@@ -58,19 +58,46 @@ def render_rays(
       (R, 3) float32 radiance (pre-quantization).
     """
     r = dirs.shape[0]
-    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), dirs.shape)
+    origin0 = jnp.asarray(origin, jnp.float32)
+    eye_shared = origin0.ndim == 1  # single eye point for the whole wavefront
+    origin = jnp.broadcast_to(origin0, dirs.shape)
     dirs = jnp.asarray(dirs, jnp.float32)
 
     fast_hits = engine == "cluster" and not differentiable
 
-    def bounce(carry):
+    # The cluster engine's shadow path: per-light fixed-endpoint plane
+    # kernel (ops.cluster_trace.build_shadow_planes) instead of the
+    # generic segment any-hit — ~2.4x fewer VPU ops on the frame's
+    # dominant phase.  Tables are built ONCE per render (outside the
+    # bounce loop) from traced light positions; oversized scenes fall
+    # back to the generic kernel (tables must be VMEM-resident).
+    shadow_fn = None
+    if engine == "cluster" and meta.n_lights > 0:
+        from raytracer_tpu.ops.cluster_trace import (
+            SHADOW_PLANES_BYTES_MAX, build_shadow_planes, cluster_shadow,
+        )
+
+        if bvh.tri_verts.shape[1] * 64 <= SHADOW_PLANES_BYTES_MAX:
+            lp_all = data.light_pos
+            planes = [
+                build_shadow_planes(bvh, lp_all[l], bfc=bfc)
+                for l in range(meta.n_lights)
+            ]
+
+            def shadow_fn(org, sdir, mask, l):
+                return cluster_shadow(bvh, planes[l], org, sdir, lp_all[l],
+                                      active=mask)
+
+    def bounce(carry, shared_eye: bool = False):
         depth, color, throughput, active, cur_org, cur_dir = carry
         if fast_hits:
             from raytracer_tpu.ops.cluster_trace import cluster_closest_hit
             from raytracer_tpu.ops.shade import Hit
 
             fhit, t, normal, mat, point, offset, prim = cluster_closest_hit(
-                bvh, cur_org, cur_dir, meta.shadow_eps, active=active, bfc=bfc
+                bvh, origin0 if shared_eye else cur_org, cur_dir,
+                meta.shadow_eps, active=active, bfc=bfc,
+                shared_origin=shared_eye,
             )
             fhit = fhit & active
             h = Hit(hit=fhit, t=t, normal=normal, mat=mat, point=point,
@@ -97,7 +124,8 @@ def render_rays(
             0.0,
         )
 
-        local = shade_local(data, meta, cur_dir, h, occluded)
+        local = shade_local(data, meta, cur_dir, h, occluded,
+                            shadow_fn=shadow_fn)
         color = color + throughput * jnp.where(h.hit[:, None], local, 0.0)
 
         refl_org, refl_dir, tint, is_mirror = reflection_rays(data, cur_dir, h)
@@ -132,8 +160,13 @@ def render_rays(
     # one traced bounce in a while_loop: graph size independent of
     # recursion depth AND early exit once every mirror path has died
     # (scenes routinely declare MaxRecursionDepth=6 with no mirrors at
-    # all — the reference's recursion just never happens there)
-    _, color, _, _, _, _ = jax.lax.while_loop(alive, bounce, init)
+    # all — the reference's recursion just never happens there).
+    # Bounce 0 is peeled out of the loop for eye wavefronts so the
+    # closest-hit kernel can exploit the shared origin.
+    carry = init
+    if fast_hits and eye_shared:
+        carry = bounce(carry, shared_eye=True)
+    _, color, _, _, _, _ = jax.lax.while_loop(alive, bounce, carry)
     return color
 
 

@@ -309,17 +309,30 @@ def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
 
 def _closest_kernel(
     tw_ref, tl_ref, te_ref, tc_ref, sw_ref, sl_ref, se_ref, sc_ref,  # SMEM
-    b_ref, tri_ref, sph_ref,                          # VMEM inputs
-    bt_out, bs_out,                                   # VMEM outputs
-    bt, bs,                                           # VMEM scratch
-    *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
-    bfc: bool = False,
+    *rest,                  # [org_ref if shared_origin] + VMEM in/out/scratch
+    n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
+    bfc: bool = False, shared_origin: bool = False, prune: bool = True,
 ):
+    """With ``shared_origin`` (primary/eye wavefronts) the origin arrives
+    as three SMEM scalars and every origin-dependent Wald/quadratic term
+    (n·o, w1·o, w2·o, o-c) collapses to a per-primitive (1, CLUSTER) row
+    instead of per-pair (TILE, CLUSTER) work — ~1/3 fewer VPU ops — and
+    the ray bundle shrinks to directions only (half the relayout)."""
+    if shared_origin:
+        org_ref, b_ref, tri_ref, sph_ref, bt_out, bs_out, bt, bs = rest
+    else:
+        b_ref, tri_ref, sph_ref, bt_out, bs_out, bt, bs = rest
     base = pl.program_id(0) * TPB
 
     def subtile(p, _):
         i = base + p
-        ox, oy, oz, _, dx, dy, dz = _load_rays(b_ref, p)
+        if shared_origin:
+            lo = pl.multiple_of(p * TILE, TILE)
+            bnd = b_ref[:, pl.ds(lo, TILE)].T        # (TILE, 4)
+            dx, dy, dz = bnd[:, 0:1], bnd[:, 1:2], bnd[:, 2:3]
+            ox, oy, oz = org_ref[0], org_ref[1], org_ref[2]
+        else:
+            ox, oy, oz, _, dx, dy, dz = _load_rays(b_ref, p)
         bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
         bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
 
@@ -348,13 +361,21 @@ def _closest_kernel(
 
         def worst_best_t():
             # prune bound: clusters whose conservative entry can't beat
-            # ANY lane's current best are skipped (list is front-to-back)
+            # ANY lane's current best are skipped (list is front-to-back).
+            # NOTE the cost: this puts a vector->scalar reduction in the
+            # visit loop's CONDITION, serializing the vector pipeline on a
+            # scalar round-trip per visit — only pay it when the prune
+            # actually skips work (see `prune`).
             return jnp.max(bt[:])
 
         _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
-                        tri_body, el_ref=te_ref, entry_bound=worst_best_t)
+                        tri_body,
+                        el_ref=te_ref if prune else None,
+                        entry_bound=worst_best_t if prune else None)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
-                        sph_body, el_ref=se_ref, entry_bound=worst_best_t)
+                        sph_body,
+                        el_ref=se_ref if prune else None,
+                        entry_bound=worst_best_t if prune else None)
         bt_out[p, :] = bt[:, 0]
         bs_out[p, :] = bs[:, 0]
         return 0
@@ -404,6 +425,212 @@ def _any_kernel(
     jax.lax.fori_loop(0, TPB, subtile, 0)
 
 
+def _cross_rows(u, v):
+    return jnp.stack([
+        u[1] * v[2] - u[2] * v[1],
+        u[2] * v[0] - u[0] * v[2],
+        u[0] * v[1] - u[1] * v[0],
+    ])
+
+
+# per-light shadow plane tables beyond this size fall back to the generic
+# Wald any-hit kernel (the (16, Pt) table must be VMEM-resident; ~16 MB/core)
+SHADOW_PLANES_BYTES_MAX = 8 << 20
+
+
+def build_shadow_planes(cset: ClusterSet, light_pos, bfc: bool = False):
+    """(16, Pt) f32 per-light occlusion planes for every triangle slot.
+
+    Every shadow ray is a SEGMENT from a surface point o to THE SAME point
+    light L (t < dist, raytracer.cpp:399-405).  With the far endpoint
+    fixed, the reference's ray-triangle test (Cramer barycentric +
+    0 <= t < d, raytracer.cpp:129-175,227-253) is equivalent to FOUR sign
+    tests of planes that depend only on (triangle, L) — the triangle's
+    supporting plane and the three planes through L and each edge (the
+    classic signed-tetra-volume segment test).  All four share one orientation
+    sigma = -sign(n·(L-A)), so after scaling by sigma the kernel-side test
+    is just:  occluded  <=>  u0>=0 & v1>=0 & v2>=0 & v3>=0,  where each
+    value is a single plane evaluation AT THE RAY ORIGIN — no direction,
+    no t, no division (~2.4x fewer VPU ops than the Wald form).
+
+    Row layout: [0:4] sigma*(n, -n·A)  (u0>=0 <=> 0 <= t AND t < d; the
+    d-row is -1 on degenerate/padding slots so they can never occlude),
+    [4:8] sigma*(m1, -m1·L) with m1 = (A-L)x(B-L), [8:12] edge BC,
+    [12:16] edge CA.  v_i(o) has the sign of v_i at the plane crossing
+    because the edge planes contain L (v_i(s) = (1-s)*v_i(0)).
+
+    Inclusivity matches the reference exactly in reals: barycentric >= 0
+    inclusive <=> v_i >= 0; t >= 0 inclusive / t < d strict <=> u0 >= 0
+    with k0 = n·(L-A) != 0.  ``bfc`` culls backfacing occluders
+    (n·d < 0 <=> k0 < 0 for any in-window pair), a build-time constant.
+
+    Built on device per render from the set's verbatim f32 vertices, so
+    traced light positions (training loops) stay correct.
+    """
+    sv = cset.tri_verts
+    a, b, c = sv[0:3], sv[3:6], sv[6:9]          # (3, Pt) each
+    lp = jnp.asarray(light_pos, jnp.float32).reshape(3, 1)
+    n = _cross_rows(b - a, c - a)
+    d0 = -(n * a).sum(0)
+    k0 = (n * (lp - a)).sum(0)
+    la, lb, lc = a - lp, b - lp, c - lp
+    m1 = _cross_rows(la, lb)
+    m2 = _cross_rows(lb, lc)
+    m3 = _cross_rows(lc, la)
+    c1 = -(m1 * lp).sum(0)
+    c2 = -(m2 * lp).sum(0)
+    c3 = -(m3 * lp).sum(0)
+    ok = k0 < 0.0 if bfc else k0 != 0.0
+    s = jnp.where(ok, -jnp.sign(k0), 0.0)
+    d0 = jnp.where(ok, s * d0, -1.0)
+    return jnp.concatenate([
+        s * n, d0[None],
+        s * m1, (s * c1)[None],
+        s * m2, (s * c2)[None],
+        s * m3, (s * c3)[None],
+    ], axis=0)
+
+
+def _shadow_kernel(
+    tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref, lp_ref,  # SMEM
+    b_ref, pln_ref, sph_ref,                                 # VMEM inputs
+    found_out,
+    fnd,
+    *, n_sph: int, ct: int, cs: int, wt: int, ws: int,
+    early_exit: bool = True,
+):
+    """Any-hit over fixed-light segments: 4-plane sign test per triangle
+    pair, evaluated at the ray ORIGIN only (origins are the sole per-ray
+    input).  Spheres reuse the quadratic with d = L - o recomputed from
+    the SMEM light position (bitwise the segment direction the generic
+    kernel is given)."""
+    base = pl.program_id(0) * TPB
+
+    def subtile(p, _):
+        i = base + p
+        lo = pl.multiple_of(p * TILE, TILE)
+        bnd = b_ref[:, pl.ds(lo, TILE)].T       # (TILE, 4) single relayout
+        ox, oy, oz = bnd[:, 0:1], bnd[:, 1:2], bnd[:, 2:3]
+        fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
+
+        def tri_body(k):
+            s = k * CLUSTER
+            row = lambda j: pln_ref[j, pl.ds(s, CLUSTER)][None, :]
+            u0 = ox * row(0) + oy * row(1) + oz * row(2) + row(3)
+            v1 = ox * row(4) + oy * row(5) + oz * row(6) + row(7)
+            v2 = ox * row(8) + oy * row(9) + oz * row(10) + row(11)
+            v3 = ox * row(12) + oy * row(13) + oz * row(14) + row(15)
+            occ = (u0 >= 0.0) & (v1 >= 0.0) & (v2 >= 0.0) & (v3 >= 0.0)
+            fnd[:] = fnd[:] | jnp.any(occ, axis=1, keepdims=True).astype(
+                jnp.int32)
+
+        def sph_body(k):
+            s = k * CLUSTER
+            dx, dy, dz = lp_ref[0] - ox, lp_ref[1] - oy, lp_ref[2] - oz
+            t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz,
+                                      n_sph)
+            hit = ok & (t < 1.0)
+            fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(
+                jnp.int32)
+
+        def not_all_found():
+            return jnp.sum(fnd[:]) < TILE
+
+        kg = not_all_found if early_exit else None
+        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
+                        tri_body, keep_going=kg)
+        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
+                        sph_body, keep_going=kg)
+        found_out[p, :] = fnd[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, TPB, subtile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sph", "early_exit"))
+def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
+                         n_sph: int, early_exit: bool = True):
+    r = origin.shape[0]
+    nt = r // TILE
+    if nt > MAX_NT:
+        outs = []
+        for s in range(0, nt, MAX_NT):
+            e = min(s + MAX_NT, nt)
+            outs.append(_cluster_shadow_call(
+                (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
+                origin[s * TILE : e * TILE], planes, lp, sph_dat, n_sph,
+                early_exit,
+            ))
+        return jnp.concatenate(outs)
+    pt = planes.shape[1]
+    ps = sph_dat.shape[1]
+    ct, cs = pt // CLUSTER, ps // CLUSTER
+    tw, tl, _, tc = _compact(*thit, MAX_TRI_LIST)
+    sw, sl, _, sc = _compact(*shit, MAX_SPH_LIST)
+    wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
+    kernel = functools.partial(
+        _shadow_kernel, n_sph=n_sph, ct=ct, cs=cs, wt=wt, ws=ws,
+        early_exit=early_exit,
+    )
+    bundle = jnp.concatenate([origin.T, jnp.zeros((1, r), jnp.float32)])
+    blk = TPB * TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(nt // TPB,),
+        in_specs=[
+            pl.BlockSpec((4, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((16, pt), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.int32)],
+    )
+    found = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
+        interpret=_interpret(),
+    )(tw, tl, tc, sw, sl, sc, lp, bundle, planes, sph_dat)
+    return found.reshape(r) != 0
+
+
+def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
+                   active=None, early_exit: bool = True):
+    """Occlusion of segments origin -> light (t < 1) for ONE point light.
+
+    ``dirs`` must be the unnormalized segment light_pos - origin (used for
+    the conservative tile shortlists only; the kernel tests origins
+    against the precomputed ``planes``).  Semantics match cluster_any on
+    the same segments up to float rounding at silhouette/grazing edges.
+    """
+    origin = jax.lax.stop_gradient(origin)
+    dirs = jax.lax.stop_gradient(dirs)
+    # occlusion is discrete: zero-gradient by the fixed-hit-topology
+    # convention (same as cluster_any), so the plane table — built from
+    # traced light positions — must not be differentiated through
+    planes = jax.lax.stop_gradient(planes)
+    lp = jax.lax.stop_gradient(jnp.asarray(light_pos, jnp.float32).reshape(3))
+    r, origin, dirs, active = _pad_rays(origin, dirs, active)
+    ones = jnp.ones((origin.shape[0],), jnp.float32)
+    thit = tile_cluster_mask(
+        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, ones, TILE
+    )
+    small_sph = 0 < cset.n_sph <= SMALL_SPH
+    if small_sph:
+        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
+    else:
+        shit = tile_cluster_mask(
+            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, ones, TILE
+        )
+    occ = _cluster_shadow_call(
+        thit, shit, origin, planes, lp, cset.sph_dat, cset.n_sph, early_exit
+    )
+    if small_sph:
+        t_s, ok = _small_sphere_test(cset, origin, dirs)
+        occ = occ | jnp.any(ok & (t_s < 1.0), axis=1)
+    return occ[:r]
+
+
 def _common_dims(dirs, tri_dat, sph_dat):
     r = dirs.shape[0]
     nt = r // TILE
@@ -412,9 +639,11 @@ def _common_dims(dirs, tri_dat, sph_dat):
     return r, nt, pt, pt // CLUSTER, ps, ps // CLUSTER
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph", "bfc"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_tri", "n_sph", "bfc", "prune"))
 def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
-                          n_tri: int, n_sph: int, bfc: bool = False):
+                          n_tri: int, n_sph: int, bfc: bool = False,
+                          prune: bool = True):
     r = dirs.shape[0]
     nt = r // TILE
     if nt > MAX_NT:
@@ -424,7 +653,7 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
             bt, bs = _cluster_closest_call(
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
-                tri_dat, sph_dat, n_tri, n_sph, bfc,
+                tri_dat, sph_dat, n_tri, n_sph, bfc, prune,
             )
             bts.append(bt); bss.append(bs)
         return jnp.concatenate(bts), jnp.concatenate(bss)
@@ -434,7 +663,7 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
-        wt=wt, ws=ws, bfc=bfc,
+        wt=wt, ws=ws, bfc=bfc, prune=prune,
     )
     bundle = jnp.concatenate([
         origin.T, jnp.zeros((1, r), jnp.float32),
@@ -467,6 +696,65 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
         ],
         interpret=_interpret(),
     )(tw, tl, te, tc, sw, sl, se, sc, bundle, tri_dat, sph_dat)
+    return bt.reshape(r), bs.reshape(r)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tri", "n_sph", "bfc", "prune"))
+def _cluster_closest_call_shared(thit, shit, org, dirs, tri_dat, sph_dat,
+                                 n_tri: int, n_sph: int, bfc: bool = False,
+                                 prune: bool = True):
+    """Shared-origin (eye) variant: org is the single (3,) origin, the
+    bundle carries directions only."""
+    r = dirs.shape[0]
+    nt = r // TILE
+    if nt > MAX_NT:
+        bts, bss = [], []
+        for s in range(0, nt, MAX_NT):
+            e = min(s + MAX_NT, nt)
+            bt, bs = _cluster_closest_call_shared(
+                (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
+                org, dirs[s * TILE : e * TILE], tri_dat, sph_dat,
+                n_tri, n_sph, bfc, prune,
+            )
+            bts.append(bt); bss.append(bs)
+        return jnp.concatenate(bts), jnp.concatenate(bss)
+    r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
+    tw, tl, te, tc = _compact(*thit, MAX_TRI_LIST)
+    sw, sl, se, sc = _compact(*shit, MAX_SPH_LIST)
+    wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
+    kernel = functools.partial(
+        _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
+        wt=wt, ws=ws, bfc=bfc, shared_origin=True, prune=prune,
+    )
+    bundle = jnp.concatenate([dirs.T, jnp.zeros((1, r), jnp.float32)])
+    blk = TPB * TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(nt // TPB,),
+        in_specs=[
+            pl.BlockSpec((4, blk), lambda i, *_: (0, i)),
+            pl.BlockSpec((12, pt), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 1), jnp.float32),
+            pltpu.VMEM((TILE, 1), jnp.int32),
+        ],
+    )
+    bt, bs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tw, tl, te, tc, sw, sl, se, sc, org, bundle, tri_dat, sph_dat)
     return bt.reshape(r), bs.reshape(r)
 
 
@@ -630,13 +918,23 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
 
 
 def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
-                        active=None, bfc: bool = False):
+                        active=None, bfc: bool = False,
+                        shared_origin: bool = False):
     """Closest hit WITH shading info, via the kernel's (t, slot) and the
     per-slot tables — the fast forward path (no per-primitive re-derive).
 
+    ``shared_origin`` (origin given as a single (3,) point — eye
+    wavefronts) runs the specialized kernel whose origin-dependent terms
+    are hoisted to per-primitive rows; results are bitwise-identical math
+    evaluated with scalar broadcasting.
     Returns (hit, t, normal, mat, point, offset, prim).  Non-differentiable
     (kernel t is the authority); training uses ops.shade.refine_hit.
     """
+    shared = shared_origin and jnp.ndim(origin) == 1
+    if shared:
+        org1 = jax.lax.stop_gradient(
+            jnp.asarray(origin, jnp.float32).reshape(3)
+        )
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
@@ -650,10 +948,16 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
         shit = tile_cluster_mask(
             origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
         )
-    t, slot = _cluster_closest_call(
-        thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
-        cset.n_tri, cset.n_sph, bfc,
-    )
+    if shared:
+        t, slot = _cluster_closest_call_shared(
+            thit, shit, org1, dirs, cset.tri_dat, cset.sph_dat,
+            cset.n_tri, cset.n_sph, bfc,
+        )
+    else:
+        t, slot = _cluster_closest_call(
+            thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
+            cset.n_tri, cset.n_sph, bfc,
+        )
     if small_sph:
         t, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
     t, slot = t[:r], slot[:r]

@@ -131,12 +131,16 @@ def shade_local(
     dirs,
     h: Hit,
     occluded_fn: Callable,
+    shadow_fn: Callable | None = None,
 ):
     """Ambient + per-light diffuse/specular for the current wavefront.
 
     occluded_fn(org, sdir, t_max, mask) -> (R,) bool runs the shadow
     any-hit; `mask` marks the lanes whose result is consumed (engines may
     return garbage on unmasked lanes).
+    shadow_fn(org, sdir, mask, light_index) -> (R,) bool, when given,
+    replaces occluded_fn with a per-light specialized occlusion engine
+    (the cluster engine's fixed-endpoint plane kernel).
     Returns (R, 3) local radiance (zero on miss lanes).
     """
     amb = data.mat_ambient[h.mat] * data.ambient_light[None, :]
@@ -180,14 +184,21 @@ def shade_local(
     # segment occlusion is symmetric, but the changed rounding flips a
     # band of grazing-occluder pixels near wall corners — cornellbox MSE
     # vs golden 4 -> 22 — so the reference's surface-side origin stays.)
-    org_flat = jnp.broadcast_to(h.offset[:, None, :], (r, nl, 3))
-    occ = occluded_fn(
-        org_flat.transpose(1, 0, 2).reshape(nl * r, 3),
-        to_off.transpose(1, 0, 2).reshape(nl * r, 3),
-        jnp.ones((nl * r,), jnp.float32),
-        (h.hit[:, None] & relevant).T.reshape(nl * r),
-    )
-    lit = h.hit[:, None] & relevant & ~occ.reshape(nl, r).T  # (R, L)
+    if shadow_fn is not None:
+        occ2 = jnp.stack([
+            shadow_fn(h.offset, to_off[:, l], h.hit & relevant[:, l], l)
+            for l in range(nl)
+        ], axis=1)                                           # (R, L)
+    else:
+        org_flat = jnp.broadcast_to(h.offset[:, None, :], (r, nl, 3))
+        occ = occluded_fn(
+            org_flat.transpose(1, 0, 2).reshape(nl * r, 3),
+            to_off.transpose(1, 0, 2).reshape(nl * r, 3),
+            jnp.ones((nl * r,), jnp.float32),
+            (h.hit[:, None] & relevant).T.reshape(nl * r),
+        )
+        occ2 = occ.reshape(nl, r).T
+    lit = h.hit[:, None] & relevant & ~occ2                  # (R, L)
     irr = lint[None] / (light_dist * light_dist)[..., None]  # (R, L, 3)
 
     # specular gate: acos in degrees with the reference's 3.1415

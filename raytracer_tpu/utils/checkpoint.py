@@ -46,7 +46,7 @@ def _unflatten_from_npz(path: str, like) -> Any:
     return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
-_ACCEL_VERSION = 3
+_ACCEL_VERSION = 4  # v4: ClusterSet grew tri_verts (shadow plane source)
 
 
 def save_accel(path: str, bvh: BVH, clusters: ClusterSet) -> None:
