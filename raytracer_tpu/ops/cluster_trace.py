@@ -337,7 +337,10 @@ def _closest_kernel(
         bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
 
         def tri_body(k):
-            s = k * CLUSTER
+            # the dynamic lane offset IS cluster-aligned — without the
+            # hint Mosaic must assume arbitrary alignment and pay a
+            # dynamic relayout per row load
+            s = pl.multiple_of(k * CLUSTER, CLUSTER)
             t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz,
                                       n_tri, bfc=bfc)
             t = jnp.where(ok, t, jnp.inf)
@@ -348,7 +351,10 @@ def _closest_kernel(
             bs[:] = jnp.where(upd, s + j, bs[:])
 
         def sph_body(k):
-            s = k * CLUSTER
+            # the dynamic lane offset IS cluster-aligned — without the
+            # hint Mosaic must assume arbitrary alignment and pay a
+            # dynamic relayout per row load
+            s = pl.multiple_of(k * CLUSTER, CLUSTER)
             t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
             t = jnp.where(ok, t, jnp.inf)
             tmin = jnp.min(t, axis=1, keepdims=True)
@@ -399,14 +405,20 @@ def _any_kernel(
         fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
 
         def tri_body(k):
-            s = k * CLUSTER
+            # the dynamic lane offset IS cluster-aligned — without the
+            # hint Mosaic must assume arbitrary alignment and pay a
+            # dynamic relayout per row load
+            s = pl.multiple_of(k * CLUSTER, CLUSTER)
             t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz,
                                       n_tri, bfc=bfc)
             hit = ok & (t < tmax)
             fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
         def sph_body(k):
-            s = k * CLUSTER
+            # the dynamic lane offset IS cluster-aligned — without the
+            # hint Mosaic must assume arbitrary alignment and pay a
+            # dynamic relayout per row load
+            s = pl.multiple_of(k * CLUSTER, CLUSTER)
             t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
             hit = ok & (t < tmax)
             fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
@@ -495,7 +507,7 @@ def _shadow_kernel(
     tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref, lp_ref,  # SMEM
     b_ref, pln_ref, sph_ref,                                 # VMEM inputs
     found_out,
-    fnd,
+    fnd, acc,
     *, n_sph: int, ct: int, cs: int, wt: int, ws: int,
     early_exit: bool = True,
 ):
@@ -503,7 +515,14 @@ def _shadow_kernel(
     pair, evaluated at the ray ORIGIN only (origins are the sole per-ray
     input).  Spheres reuse the quadratic with d = L - o recomputed from
     the SMEM light position (bitwise the segment direction the generic
-    kernel is given)."""
+    kernel is given).
+
+    The kernel is VPU ISSUE-bound (~one (8,128) op per cycle — measured
+    1.37us per 40-op visit), so the visit body is kept to the minimum op
+    count: dot products chained for FMA fusion, the four sign tests
+    folded to one min, and per-visit results accumulated into a
+    (TILE, CLUSTER) running max (ONE op) instead of an 9-op lane
+    reduction; the any-lane reduction runs once per subtile."""
     base = pl.program_id(0) * TPB
 
     def subtile(p, _):
@@ -512,20 +531,33 @@ def _shadow_kernel(
         bnd = b_ref[:, pl.ds(lo, TILE)].T       # (TILE, 4) single relayout
         ox, oy, oz = bnd[:, 0:1], bnd[:, 1:2], bnd[:, 2:3]
         fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
+        acc[:] = jnp.full((TILE, CLUSTER), -jnp.inf, jnp.float32)
 
         def tri_body(k):
-            s = k * CLUSTER
+            # the dynamic lane offset IS cluster-aligned — without the
+            # hint Mosaic must assume arbitrary alignment and pay a
+            # dynamic relayout per row load
+            s = pl.multiple_of(k * CLUSTER, CLUSTER)
             row = lambda j: pln_ref[j, pl.ds(s, CLUSTER)][None, :]
-            u0 = ox * row(0) + oy * row(1) + oz * row(2) + row(3)
-            v1 = ox * row(4) + oy * row(5) + oz * row(6) + row(7)
-            v2 = ox * row(8) + oy * row(9) + oz * row(10) + row(11)
-            v3 = ox * row(12) + oy * row(13) + oz * row(14) + row(15)
-            occ = (u0 >= 0.0) & (v1 >= 0.0) & (v2 >= 0.0) & (v3 >= 0.0)
-            fnd[:] = fnd[:] | jnp.any(occ, axis=1, keepdims=True).astype(
-                jnp.int32)
+            u0 = ox * row(0) + (oy * row(1) + (oz * row(2) + row(3)))
+            v1 = ox * row(4) + (oy * row(5) + (oz * row(6) + row(7)))
+            v2 = ox * row(8) + (oy * row(9) + (oz * row(10) + row(11)))
+            v3 = ox * row(12) + (oy * row(13) + (oz * row(14) + row(15)))
+            m = jnp.minimum(jnp.minimum(u0, v1), jnp.minimum(v2, v3))
+            acc[:] = jnp.maximum(acc[:], m)
+
+        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
+                        tri_body)
+        # occluded <=> some candidate's min-plane value is >= 0; fold the
+        # triangle verdict into fnd so the sphere walk's early exit sees it
+        fnd[:] = fnd[:] | jnp.any(acc[:] >= 0.0, axis=1,
+                                  keepdims=True).astype(jnp.int32)
 
         def sph_body(k):
-            s = k * CLUSTER
+            # the dynamic lane offset IS cluster-aligned — without the
+            # hint Mosaic must assume arbitrary alignment and pay a
+            # dynamic relayout per row load
+            s = pl.multiple_of(k * CLUSTER, CLUSTER)
             dx, dy, dz = lp_ref[0] - ox, lp_ref[1] - oy, lp_ref[2] - oz
             t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz,
                                       n_sph)
@@ -537,8 +569,6 @@ def _shadow_kernel(
             return jnp.sum(fnd[:]) < TILE
 
         kg = not_all_found if early_exit else None
-        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
-                        tri_body, keep_going=kg)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
                         sph_body, keep_going=kg)
         found_out[p, :] = fnd[:, 0]
@@ -583,7 +613,10 @@ def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
             pl.BlockSpec((4, ps), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((TILE, CLUSTER), jnp.float32),
+        ],
     )
     found = pl.pallas_call(
         kernel,
