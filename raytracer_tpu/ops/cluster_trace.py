@@ -317,11 +317,26 @@ def _closest_kernel(
     as three SMEM scalars and every origin-dependent Wald/quadratic term
     (n·o, w1·o, w2·o, o-c) collapses to a per-primitive (1, CLUSTER) row
     instead of per-pair (TILE, CLUSTER) work — ~1/3 fewer VPU ops — and
-    the ray bundle shrinks to directions only (half the relayout)."""
+    the ray bundle shrinks to directions only (half the relayout).
+
+    The per-visit best is kept as a LANEWISE accumulator pair
+    (acc_t running min, acc_k winning cluster id per lane) — 3 cheap ops
+    per visit — instead of an in-visit min+argmin lane reduction
+    (~20 ops); the single reduction to (t, slot) runs once per subtile.
+    Tie semantics: per lane, the earliest (front-to-back) visit wins and
+    spheres visit after triangles (strict <, matching the reference's
+    leaf order, raytracer.cpp:199-216); ACROSS lanes an exact-t tie picks
+    the lowest lane rather than the earliest visit — both orders already
+    differ from the reference's BVH leaf order, and exact cross-primitive
+    t ties only arise on shared silhouette edges (the per-scene sweep
+    pins dual-engine agreement at <=1 quantization LSB)."""
     if shared_origin:
-        org_ref, b_ref, tri_ref, sph_ref, bt_out, bs_out, bt, bs = rest
+        org_ref, b_ref, tri_ref, sph_ref, bt_out, bs_out, acc_t, acc_k = rest
     else:
-        b_ref, tri_ref, sph_ref, bt_out, bs_out, bt, bs = rest
+        b_ref, tri_ref, sph_ref, bt_out, bs_out, acc_t, acc_k = rest
+    del te_ref, se_ref, prune  # front-to-back t-prune needs a per-visit
+    # scalar best bound, which the accumulator form removes; measured cost
+    # of visiting the few prunable clusters < the per-visit reduction.
     base = pl.program_id(0) * TPB
 
     def subtile(p, _):
@@ -333,8 +348,8 @@ def _closest_kernel(
             ox, oy, oz = org_ref[0], org_ref[1], org_ref[2]
         else:
             ox, oy, oz, _, dx, dy, dz = _load_rays(b_ref, p)
-        bt[:] = jnp.full((TILE, 1), jnp.inf, jnp.float32)
-        bs[:] = jnp.full((TILE, 1), -1, jnp.int32)
+        acc_t[:] = jnp.full((TILE, CLUSTER), jnp.inf, jnp.float32)
+        acc_k[:] = jnp.zeros((TILE, CLUSTER), jnp.int32)
 
         def tri_body(k):
             # the dynamic lane offset IS cluster-aligned — without the
@@ -344,11 +359,9 @@ def _closest_kernel(
             t, ok = _tri_cluster_test(tri_ref, s, ox, oy, oz, dx, dy, dz,
                                       n_tri, bfc=bfc)
             t = jnp.where(ok, t, jnp.inf)
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
-            upd = tmin < bt[:]
-            bt[:] = jnp.where(upd, tmin, bt[:])
-            bs[:] = jnp.where(upd, s + j, bs[:])
+            upd = t < acc_t[:]
+            acc_k[:] = jnp.where(upd, k, acc_k[:])
+            acc_t[:] = jnp.where(upd, t, acc_t[:])
 
         def sph_body(k):
             # the dynamic lane offset IS cluster-aligned — without the
@@ -357,33 +370,28 @@ def _closest_kernel(
             s = pl.multiple_of(k * CLUSTER, CLUSTER)
             t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
             t = jnp.where(ok, t, jnp.inf)
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            j = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
-            # strict < keeps triangles on exact ties (leaf order,
-            # raytracer.cpp:199-216)
-            upd = tmin < bt[:]
-            bt[:] = jnp.where(upd, tmin, bt[:])
-            bs[:] = jnp.where(upd, pt + s + j, bs[:])
-
-        def worst_best_t():
-            # prune bound: clusters whose conservative entry can't beat
-            # ANY lane's current best are skipped (list is front-to-back).
-            # NOTE the cost: this puts a vector->scalar reduction in the
-            # visit loop's CONDITION, serializing the vector pipeline on a
-            # scalar round-trip per visit — only pay it when the prune
-            # actually skips work (see `prune`).
-            return jnp.max(bt[:])
+            # strict < keeps triangles on same-lane exact ties (leaf
+            # order, raytracer.cpp:199-216)
+            upd = t < acc_t[:]
+            acc_k[:] = jnp.where(upd, ct + k, acc_k[:])
+            acc_t[:] = jnp.where(upd, t, acc_t[:])
 
         _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
-                        tri_body,
-                        el_ref=te_ref if prune else None,
-                        entry_bound=worst_best_t if prune else None)
+                        tri_body)
         _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
-                        sph_body,
-                        el_ref=se_ref if prune else None,
-                        entry_bound=worst_best_t if prune else None)
-        bt_out[p, :] = bt[:, 0]
-        bs_out[p, :] = bs[:, 0]
+                        sph_body)
+        at = acc_t[:]
+        tmin = jnp.min(at, axis=1, keepdims=True)
+        j = jnp.argmin(at, axis=1, keepdims=True).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER), 1)
+        kb = jnp.max(jnp.where(lane == j, acc_k[:], -1), axis=1,
+                     keepdims=True)
+        slot = jnp.where(kb >= ct,
+                         pt + (kb - ct) * CLUSTER + j,
+                         kb * CLUSTER + j)
+        slot = jnp.where(tmin < jnp.inf, slot, -1)
+        bt_out[p, :] = tmin[:, 0]
+        bs_out[p, :] = slot[:, 0]
         return 0
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -716,8 +724,8 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
             pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, 1), jnp.float32),
-            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((TILE, CLUSTER), jnp.float32),
+            pltpu.VMEM((TILE, CLUSTER), jnp.int32),
         ],
     )
     bt, bs = pl.pallas_call(
@@ -775,8 +783,8 @@ def _cluster_closest_call_shared(thit, shit, org, dirs, tri_dat, sph_dat,
             pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, 1), jnp.float32),
-            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((TILE, CLUSTER), jnp.float32),
+            pltpu.VMEM((TILE, CLUSTER), jnp.int32),
         ],
     )
     bt, bs = pl.pallas_call(
