@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer_tpu.models.clusters import CLUSTER, ClusterSet
 from raytracer_tpu.models.scene import SceneData
 
-TILE = 256          # rays per shortlist tile
-TPB = 16            # tiles per grid program (amortizes ~10us/program cost)
+TILE = 128          # rays per shortlist tile
+TPB = 8             # tiles per grid program (amortizes ~10us/program cost)
 MAX_TRI_LIST = 48   # cluster-list capacity before bitmask fallback
 MAX_SPH_LIST = 8
 MAX_NT = 1536       # tiles per pallas_call: bounds the SMEM-resident
