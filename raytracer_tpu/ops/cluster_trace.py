@@ -960,7 +960,8 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
 
 def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
                         active=None, bfc: bool = False,
-                        shared_origin: bool = False):
+                        shared_origin: bool = False,
+                        with_slot: bool = False):
     """Closest hit WITH shading info, via the kernel's (t, slot) and the
     per-slot tables — the fast forward path (no per-primitive re-derive).
 
@@ -968,8 +969,12 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     wavefronts) runs the specialized kernel whose origin-dependent terms
     are hoisted to per-primitive rows; results are bitwise-identical math
     evaluated with scalar broadcasting.
-    Returns (hit, t, normal, mat, point, offset, prim).  Non-differentiable
-    (kernel t is the authority); training uses ops.shade.refine_hit.
+    Returns (hit, t, normal, mat, point, offset, prim).  With
+    ``with_slot`` the kernel SLOT index (-1 on miss) is appended — the
+    slot order is the cluster layout's spatial preorder, which makes it
+    the surface-locality sort key for secondary wavefronts.
+    Non-differentiable (kernel t is the authority); training uses
+    ops.shade.refine_hit.
     """
     shared = shared_origin and jnp.ndim(origin) == 1
     if shared:
@@ -1024,6 +1029,8 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0]))
     offset = point + normal * jnp.float32(shadow_eps)
     prim = jnp.where(hit, pack[:, 5].astype(jnp.int32), MISS)
+    if with_slot:
+        return hit, t, normal, mat, point, offset, prim, slot
     return hit, t, normal, mat, point, offset, prim
 
 
