@@ -164,10 +164,11 @@ def main():
     cset = jax.device_put(build_clusters(data, meta, bvh))
     data = jax.device_put(data)
     cam = meta.cameras[0]
+    rows = 176  # central band: shortlists stay SMEM-resident unsegmented
     origin, dirs = eye_rays_band(jnp.asarray(camera_vectors(cam)),
-                                 cam.width, cam.height, jnp.float32(0),
-                                 cam.height)
-    perm, inv = block_permutation(cam.height, cam.width, 8, 16)
+                                 cam.width, cam.height, jnp.float32(272),
+                                 rows)
+    perm, inv = block_permutation(rows, cam.width, 8, 16)
     dirs = jnp.asarray(dirs)[jnp.asarray(perm)]
     origin0 = jnp.asarray(origin, jnp.float32)
     fhit0, t0_, n0, m0, p0, off0, prim0 = jax.jit(

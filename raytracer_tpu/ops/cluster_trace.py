@@ -924,7 +924,9 @@ def _merge_small_spheres(cset: ClusterSet, origin, dirs, t_k, slot_k):
     t_s, ok = _small_sphere_test(cset, origin, dirs)
     t_s = jnp.where(ok, t_s, jnp.inf)
     j = jnp.argmin(t_s, axis=1)
-    tj = jnp.take_along_axis(t_s, j[:, None], axis=1)[:, 0]
+    # the winning value IS the min — a take_along_axis gather here
+    # measured 16 ms/1M rays (XLA TPU row gather), the min is free
+    tj = jnp.min(t_s, axis=1)
     t_kv = jnp.where(slot_k >= 0, t_k, jnp.inf)
     upd = tj < t_kv
     pt = cset.tri_dat.shape[1]

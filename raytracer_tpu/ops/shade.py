@@ -125,6 +125,38 @@ def refine_hit(data: SceneData, meta: SceneMeta, origin, dirs, prim) -> Hit:
     return Hit(hit=hit, t=t, normal=normal, mat=mat, point=point, offset=offset)
 
 
+def _mat_lookup(mat_ids, *tables):
+    """Row-lookup of per-material columns via ONE one-hot MXU matmul.
+
+    Separate XLA gathers from the tiny (M, ·) material tables measured
+    ~10 ms per 1M rays for the shading set; (R, M) one-hot @ (M, K) runs
+    on the MXU in ~1.8 ms.  Multiplying by an exact 1.0 and adding exact
+    0.0 reproduces the gathered values bitwise (pinned by the golden
+    parity suite).  Returns one (R, k_i) array per input table."""
+    mat_ids = jax.lax.stop_gradient(mat_ids)
+    cols = [t[:, None] if t.ndim == 1 else t for t in tables]
+    widths = [c.shape[1] for c in cols]
+    packed = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1)
+    m = packed.shape[0]
+    # static select chain instead of a dot: an (R,M)@(M,K) one-hot dot is
+    # equally fast on the MXU, but the dot's presence perturbs XLA's
+    # fusion of the surrounding shading math enough to break bitwise
+    # brute==bvh equivalence; M selects fuse stably and exactly.
+    g = jnp.broadcast_to(packed[0][None, :], (mat_ids.shape[0],
+                                              packed.shape[1]))
+    for mi in range(1, m):
+        g = jnp.where((mat_ids == mi)[:, None], packed[mi][None, :], g)
+    out = []
+    s = 0
+    for t, w in zip(tables, widths):
+        piece = g[:, s : s + w]
+        if t.ndim == 1:
+            piece = piece[:, 0]
+        out.append(piece)
+        s += w
+    return out
+
+
 def shade_local(
     data: SceneData,
     meta: SceneMeta,
@@ -143,18 +175,20 @@ def shade_local(
     (the cluster engine's fixed-endpoint plane kernel).
     Returns (R, 3) local radiance (zero on miss lanes).
     """
-    amb = data.mat_ambient[h.mat] * data.ambient_light[None, :]
-    color = jnp.where(h.hit[:, None], amb, 0.0)
     nl = meta.n_lights
     if nl == 0:
-        return color
+        amb = data.mat_ambient[h.mat] * data.ambient_light[None, :]
+        return jnp.where(h.hit[:, None], amb, 0.0)
+    ambient, diffuse, specular, phong = _mat_lookup(
+        h.mat, data.mat_ambient, data.mat_diffuse, data.mat_specular,
+        data.mat_phong,
+    )
+    amb = ambient * data.ambient_light[None, :]
+    color = jnp.where(h.hit[:, None], amb, 0.0)
     r = dirs.shape[0]
 
     d_unit = normalize(dirs)
     n_unit = normalize(h.normal)  # already unit; matches :414's re-normalize
-    diffuse = data.mat_diffuse[h.mat]
-    specular = data.mat_specular[h.mat]
-    phong = data.mat_phong[h.mat]
 
     # All lights at once: ONE batched shadow wavefront of nl*r rays
     # (light-major so each light's segment keeps the rays' tile coherence),
@@ -220,6 +254,8 @@ def reflection_rays(data: SceneData, dirs, h: Hit):
     n_unit = normalize(h.normal)
     cos_r = -dot(d_unit, n_unit)
     refl_dir = d_unit + n_unit * (2.0 * cos_r)[:, None]
-    tint = data.mat_mirror[h.mat]
-    is_mirror = data.mat_is_mirror[h.mat] & h.hit
+    tint, is_mirror_f = _mat_lookup(
+        h.mat, data.mat_mirror, data.mat_is_mirror.astype(jnp.float32)
+    )
+    is_mirror = (is_mirror_f > 0.5) & h.hit
     return h.offset, refl_dir, tint, is_mirror
