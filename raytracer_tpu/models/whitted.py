@@ -177,29 +177,38 @@ def _render_rays_jit(data, meta, origin, dirs, bvh, engine,
                        differentiable=differentiable, bfc=bfc)
 
 
-@partial(jax.jit, static_argnames=("meta", "h", "w", "engine", "bfc"))
+@partial(jax.jit,
+         static_argnames=("meta", "h", "w", "engine", "bfc", "blocks"))
 def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
-                       bfc=False):
+                       bfc=False, blocks=None):
     """Whole-frame pipeline in ONE dispatch: eye rays, tile permutation,
     trace, inverse permutation, reshape.  Camera parameters are TRACED
     (packed in cam_vec) so all cameras sharing a resolution share one
-    compile — only H/W are static."""
+    compile — only H/W are static.  ``blocks=(bh, bw)`` (evenly-dividing
+    grids — every bundled scene) applies the tile order as a
+    reshape/transpose instead of the perm/inv gathers (ops.tiling)."""
     from raytracer_tpu.ops.camera import eye_rays_from
+    from raytracer_tpu.ops.tiling import from_blocks, to_blocks
 
     origin, dirs = eye_rays_from(cam_vec, w, h)
-    if perm is not None:
+    if blocks is not None:
+        dirs = to_blocks(dirs, h, w, *blocks)
+    elif perm is not None:
         dirs = dirs[perm]
     color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
                         bfc=bfc)
-    if inv is not None:
+    if blocks is not None:
+        color = from_blocks(color, h, w, *blocks)
+    elif inv is not None:
         color = color[inv]
     return color.reshape(h, w, 3)
 
 
 @partial(jax.jit, static_argnames=(
-    "meta", "h", "w", "band_h", "engine", "bfc", "ssaa", "ssaa_mode"))
+    "meta", "h", "w", "band_h", "engine", "bfc", "ssaa", "ssaa_mode",
+    "blocks"))
 def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
-                     bvh, engine, bfc, ssaa, ssaa_mode):
+                     bvh, engine, bfc, ssaa, ssaa_mode, blocks=None):
     """One streamed row band: eye rays for rows [row0, row0+band_h) at the
     SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8.
     ``row0`` is traced, so every equal-height band shares one compile."""
@@ -207,13 +216,18 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     from raytracer_tpu.ops.image import (
         downsample_mean, downsample_parity, quantize,
     )
+    from raytracer_tpu.ops.tiling import from_blocks, to_blocks
 
     origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h)
-    if perm is not None:
+    if blocks is not None:
+        dirs = to_blocks(dirs, band_h, w, *blocks)
+    elif perm is not None:
         dirs = dirs[perm]
     color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
                         bfc=bfc)
-    if inv is not None:
+    if blocks is not None:
+        color = from_blocks(color, band_h, w, *blocks)
+    elif inv is not None:
         color = color[inv]
     color = color.reshape(band_h, w, 3)
     if ssaa <= 1:
@@ -221,6 +235,16 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     if ssaa_mode == "parity":
         return downsample_parity(quantize(color), ssaa)
     return quantize(downsample_mean(color, ssaa))
+
+
+def _tile_block_shape():
+    """(bh, bw) pixel-block shape holding exactly TILE rays (e.g. TILE=128
+    -> 8x16, 256 -> 16x16): the square-ish frustum the cluster shortlist
+    culls against."""
+    from raytracer_tpu.ops.cluster_trace import TILE
+
+    bh = 1 << (max(TILE.bit_length() - 1, 0) // 2)
+    return bh, TILE // bh
 
 
 def render_camera_streamed(
@@ -264,14 +288,19 @@ def render_camera_streamed(
     row0 = 0
     while row0 < hs:
         bh = min(band_h, hs - row0)  # trailing band may be shorter
+        blocks = p = i = None
         if engine == "cluster":
-            p, i = block_permutation(bh, ws, 16, 16)
-            p, i = jnp.asarray(p), jnp.asarray(i)
-        else:
-            p = i = None
+            from raytracer_tpu.ops.tiling import divides
+
+            tb_h, tb_w = _tile_block_shape()
+            if divides(bh, ws, tb_h, tb_w):
+                blocks = (tb_h, tb_w)
+            else:
+                p, i = block_permutation(bh, ws, tb_h, tb_w)
+                p, i = jnp.asarray(p), jnp.asarray(i)
         bands.append(_render_band_jit(
             data, meta, cam_vec, hs, ws, jnp.float32(row0), bh, p, i,
-            bvh, engine, bfc, ssaa, ssaa_mode,
+            bvh, engine, bfc, ssaa, ssaa_mode, blocks=blocks,
         ))
         row0 += bh
     return jnp.concatenate(bands, axis=0)
@@ -304,14 +333,16 @@ def render_camera(
         else:
             engine = "brute"
     r = cam.width * cam.height
-    perm = inv = None
+    perm = inv = blocks = None
     if engine == "cluster":
         from raytracer_tpu.ops.cluster_trace import TILE
-        from raytracer_tpu.ops.tiling import block_permutation
+        from raytracer_tpu.ops.tiling import block_permutation, divides
 
-        bh = 1 << (max(TILE.bit_length() - 1, 0) // 2)  # e.g. 256->16, 512->16
-        bw = TILE // bh                                  #      256->16, 512->32
-        perm, inv = block_permutation(cam.height, cam.width, bh, bw)
+        bh, bw = _tile_block_shape()
+        if divides(cam.height, cam.width, bh, bw):
+            blocks = (bh, bw)
+        else:
+            perm, inv = block_permutation(cam.height, cam.width, bh, bw)
         chunk = max(TILE, (chunk // TILE) * TILE)
     if r <= chunk:
         # whole frame in one fused dispatch
@@ -321,11 +352,15 @@ def render_camera(
         inv_d = None if inv is None else jnp.asarray(inv)
         return _render_camera_jit(
             data, meta, jnp.asarray(camera_vectors(cam)), cam.height,
-            cam.width, perm_d, inv_d, bvh, engine, bfc,
+            cam.width, perm_d, inv_d, bvh, engine, bfc, blocks=blocks,
         )
     # chunked fallback for frames beyond the per-dispatch ray budget
     origin, dirs = eye_rays(cam)
-    if perm is not None:
+    if blocks is not None:
+        from raytracer_tpu.ops.tiling import to_blocks
+
+        dirs = to_blocks(jnp.asarray(dirs), cam.height, cam.width, *blocks)
+    elif perm is not None:
         dirs = dirs[jnp.asarray(perm)]
     if engine == "cluster":
         from raytracer_tpu.ops.cluster_trace import TILE as _T
@@ -342,6 +377,10 @@ def render_camera(
                              engine, bfc=bfc)
         )
     color = jnp.concatenate(outs, axis=0)[:r]
-    if inv is not None:
+    if blocks is not None:
+        from raytracer_tpu.ops.tiling import from_blocks
+
+        color = from_blocks(color, cam.height, cam.width, *blocks)
+    elif inv is not None:
         color = color[jnp.asarray(inv)]
     return color.reshape(cam.height, cam.width, 3)

@@ -18,6 +18,33 @@ import functools
 import numpy as np
 
 
+def divides(h: int, w: int, bh: int, bw: int) -> bool:
+    """True when the (h, w) pixel grid tiles evenly into (bh, bw) blocks —
+    the case where the block permutation is a pure reshape/transpose."""
+    return h % bh == 0 and w % bw == 0
+
+
+def to_blocks(x, h: int, w: int, bh: int, bw: int):
+    """Row-major (h*w, ...) -> block-order, as reshape+transpose.
+
+    Equivalent to ``x[perm]`` from :func:`block_permutation` when
+    ``divides(h, w, bh, bw)`` but ~50x cheaper on TPU: XLA lowers the
+    transpose as a tiled copy instead of a 1-row-per-index gather
+    (a (1M, 3) gather measured ~8 ms; the copy is bandwidth-bound)."""
+    lead = x.shape[1:]
+    y = x.reshape(h // bh, bh, w // bw, bw, *lead)
+    y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(lead))))
+    return y.reshape((h * w,) + tuple(lead))
+
+
+def from_blocks(x, h: int, w: int, bh: int, bw: int):
+    """Inverse of :func:`to_blocks` (block order -> row-major)."""
+    lead = x.shape[1:]
+    y = x.reshape(h // bh, w // bw, bh, bw, *lead)
+    y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(lead))))
+    return y.reshape((h * w,) + tuple(lead))
+
+
 @functools.lru_cache(maxsize=64)
 def block_permutation(h: int, w: int, bh: int, bw: int):
     """(perm, inv) int32 arrays of length h*w.
