@@ -91,8 +91,9 @@ def main():
     def sh0(o, d):
         tot = jnp.zeros((), jnp.float32)
         for l in range(2):
-            sd = lps[l][None] - o
-            occ = cluster_shadow(cset, planes[l], o + 0 * d[:, :1], sd,
+            op = o + 0 * d[:, :1]
+            sd = lps[l][None] - op
+            occ = cluster_shadow(cset, planes[l], op, sd,
                                  lps[l], active=fhit0)
             tot += jnp.sum(occ.astype(jnp.float32))
         return tot
@@ -101,14 +102,44 @@ def main():
         return cluster_closest_hit(cset, o + 0 * d[:, :1], d, eps,
                                    active=is_m)[1]
 
+    # bounce-1 hits -> bounce-1 shadow wave and bounce-2 closest wave
+    h1 = jax.jit(lambda o, d: cluster_closest_hit(cset, o, d, eps,
+                                                  active=is_m))(ro, rd)
+    hh1 = Hit(hit=h1[0], t=h1[1], normal=h1[2], mat=h1[3], point=h1[4],
+              offset=h1[5])
+    off1 = jax.block_until_ready(h1[5])
+    a1 = h1[0] & is_m
+    ro2, rd2, tint2, is_m2 = jax.jit(
+        lambda d: reflection_rays(data, d, hh1))(rd)
+    is_m2 = is_m2 & is_m
+    print(json.dumps({"note": "bounce2 active frac",
+                      "frac": float(np.asarray(is_m2).mean())}), flush=True)
+    ro2 = jax.block_until_ready(ro2)
+
+    def sh1(o, d):
+        tot = jnp.zeros((), jnp.float32)
+        for l in range(2):
+            sd = lps[l][None] - (o + 0 * d[:, :1])
+            occ = cluster_shadow(cset, planes[l], o + 0 * d[:, :1], sd,
+                                 lps[l], active=a1)
+            tot += jnp.sum(occ.astype(jnp.float32))
+        return tot
+
+    def c2(o, d):
+        return cluster_closest_hit(cset, o + 0 * d[:, :1], d, eps,
+                                   active=is_m2)[1]
+
     variants = {
         "frame": (scan_wrap(frame, 6), dirs),
         "c0": (scan_wrap(c0, 16), dirs),
         "sh0": (scan_wrap(sh0, 16), dirs),
         "c1": (scan_wrap(c1, 16), rd),
+        "sh1": (scan_wrap(sh1, 16), rd),
+        "c2": (scan_wrap(c2, 16), rd2),
     }
     # origins for shadow/c1 variants
-    origins = {"frame": dirs * 0, "c0": dirs * 0, "sh0": off0, "c1": ro}
+    origins = {"frame": dirs * 0, "c0": dirs * 0, "sh0": off0, "c1": ro,
+               "sh1": off1, "c2": ro2}
     for name, (pair, dd) in variants.items():
         ms = timeit(pair, origins[name], dd) * 1e3
         print(json.dumps({"phase": name, "ms": round(ms, 2)}), flush=True)
