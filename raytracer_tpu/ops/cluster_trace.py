@@ -156,10 +156,11 @@ def _compact(hit, entry, max_list: int):
     elist (nt*max_list,) f32, counts (nt,) i32).
 
     ids holds the first max_list candidate clusters sorted FRONT-TO-BACK
-    by conservative slab entry (elist carries those entries, +inf pad) so
-    the closest kernel can stop as soon as the next entry cannot beat any
-    lane's best t.  counts is UNclamped so the kernel can detect overflow
-    and fall back to scanning the (unordered) bitmask."""
+    by conservative slab entry — the order is load-bearing for exact-t
+    tie semantics (the accumulator kernels keep the earliest visit) and
+    favors any-hit early exits; elist carries those entries (+inf pad)
+    for diagnostics.  counts is UNclamped so the kernel can detect
+    overflow and fall back to scanning the (unordered) bitmask."""
     nt, c = hit.shape
     counts = hit.sum(1).astype(jnp.int32)
     k = min(max_list, c)
@@ -245,35 +246,31 @@ def _load_rays(b_ref, p):
 
 
 def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
-                    wpt: int, body, keep_going=None, el_ref=None,
-                    entry_bound=None):
+                    wpt: int, body, keep_going=None):
     """Run `body(cluster_id)` for every candidate cluster of tile i.
 
     Fast path: iterate the compacted id list (count entries), which is
-    sorted front-to-back; with `el_ref`/`entry_bound` the walk stops once
-    the next cluster's conservative entry t can no longer beat
-    `entry_bound()` (closest-hit pruning, the analog of the reference's
-    box-tmin prune at raytracer.cpp:188).  Fallback (count > max_list):
-    scan all clusters via the (unordered) bitmask, no pruning.  An
-    optional `keep_going()` predicate allows early termination (any-hit).
+    sorted front-to-back (list order is load-bearing: the accumulator
+    kernels keep the EARLIEST visit on exact-t ties).  Fallback
+    (count > max_list): scan all clusters via the (unordered) bitmask.
+    An optional `keep_going()` predicate allows early termination
+    (any-hit).  A front-to-back entry-bound prune existed here and was
+    REMOVED with the lanewise accumulators: it needs a per-visit
+    vector->scalar best-t reduction, which costs more than the few
+    prunable visits it skips (round-1 measurement; ROADMAP).
     """
     n = c_ref[i]
 
     @pl.when(n <= max_list)
     def _():
-        if keep_going is None and el_ref is None:
+        if keep_going is None:
             def from_list(k, _):
                 body(l_ref[i * max_list + k])
                 return 0
             jax.lax.fori_loop(0, n, from_list, 0)
         else:
             def cond(k):
-                ok = k < n
-                if keep_going is not None:
-                    ok &= keep_going()
-                if el_ref is not None:
-                    ok &= el_ref[i * max_list + k] < entry_bound()
-                return ok
+                return (k < n) & keep_going()
 
             def step(k):
                 body(l_ref[i * max_list + k])
@@ -308,10 +305,10 @@ def _visit_clusters(i, w_ref, l_ref, c_ref, n_clusters: int, max_list: int,
 
 
 def _closest_kernel(
-    tw_ref, tl_ref, te_ref, tc_ref, sw_ref, sl_ref, se_ref, sc_ref,  # SMEM
+    tw_ref, tl_ref, tc_ref, sw_ref, sl_ref, sc_ref,  # SMEM
     *rest,                  # [org_ref if shared_origin] + VMEM in/out/scratch
     n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
-    bfc: bool = False, shared_origin: bool = False, prune: bool = True,
+    bfc: bool = False, shared_origin: bool = False,
 ):
     """With ``shared_origin`` (primary/eye wavefronts) the origin arrives
     as three SMEM scalars and every origin-dependent Wald/quadratic term
@@ -334,9 +331,6 @@ def _closest_kernel(
         org_ref, b_ref, tri_ref, sph_ref, bt_out, bs_out, acc_t, acc_k = rest
     else:
         b_ref, tri_ref, sph_ref, bt_out, bs_out, acc_t, acc_k = rest
-    del te_ref, se_ref, prune  # front-to-back t-prune needs a per-visit
-    # scalar best bound, which the accumulator form removes; measured cost
-    # of visiting the few prunable clusters < the per-visit reduction.
     base = pl.program_id(0) * TPB
 
     def subtile(p, _):
@@ -681,10 +675,9 @@ def _common_dims(dirs, tri_dat, sph_dat):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_tri", "n_sph", "bfc", "prune"))
+                   static_argnames=("n_tri", "n_sph", "bfc"))
 def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
-                          n_tri: int, n_sph: int, bfc: bool = False,
-                          prune: bool = True):
+                          n_tri: int, n_sph: int, bfc: bool = False):
     r = dirs.shape[0]
     nt = r // TILE
     if nt > MAX_NT:
@@ -694,17 +687,17 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
             bt, bs = _cluster_closest_call(
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
-                tri_dat, sph_dat, n_tri, n_sph, bfc, prune,
+                tri_dat, sph_dat, n_tri, n_sph, bfc,
             )
             bts.append(bt); bss.append(bs)
         return jnp.concatenate(bts), jnp.concatenate(bss)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
-    tw, tl, te, tc = _compact(*thit, MAX_TRI_LIST)
-    sw, sl, se, sc = _compact(*shit, MAX_SPH_LIST)
+    tw, tl, _, tc = _compact(*thit, MAX_TRI_LIST)
+    sw, sl, _, sc = _compact(*shit, MAX_SPH_LIST)
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
-        wt=wt, ws=ws, bfc=bfc, prune=prune,
+        wt=wt, ws=ws, bfc=bfc,
     )
     bundle = jnp.concatenate([
         origin.T, jnp.zeros((1, r), jnp.float32),
@@ -712,7 +705,7 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
     ])  # (8, R): one fused per-subtile relayout in-kernel
     blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=6,
         grid=(nt // TPB,),
         in_specs=[
             pl.BlockSpec((8, blk), lambda i, *_: (0, i)),
@@ -736,15 +729,14 @@ def _cluster_closest_call(thit, shit, origin, dirs, tri_dat, sph_dat,
             jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tw, tl, te, tc, sw, sl, se, sc, bundle, tri_dat, sph_dat)
+    )(tw, tl, tc, sw, sl, sc, bundle, tri_dat, sph_dat)
     return bt.reshape(r), bs.reshape(r)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_tri", "n_sph", "bfc", "prune"))
+                   static_argnames=("n_tri", "n_sph", "bfc"))
 def _cluster_closest_call_shared(thit, shit, org, dirs, tri_dat, sph_dat,
-                                 n_tri: int, n_sph: int, bfc: bool = False,
-                                 prune: bool = True):
+                                 n_tri: int, n_sph: int, bfc: bool = False):
     """Shared-origin (eye) variant: org is the single (3,) origin, the
     bundle carries directions only."""
     r = dirs.shape[0]
@@ -756,22 +748,22 @@ def _cluster_closest_call_shared(thit, shit, org, dirs, tri_dat, sph_dat,
             bt, bs = _cluster_closest_call_shared(
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 org, dirs[s * TILE : e * TILE], tri_dat, sph_dat,
-                n_tri, n_sph, bfc, prune,
+                n_tri, n_sph, bfc,
             )
             bts.append(bt); bss.append(bs)
         return jnp.concatenate(bts), jnp.concatenate(bss)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
-    tw, tl, te, tc = _compact(*thit, MAX_TRI_LIST)
-    sw, sl, se, sc = _compact(*shit, MAX_SPH_LIST)
+    tw, tl, _, tc = _compact(*thit, MAX_TRI_LIST)
+    sw, sl, _, sc = _compact(*shit, MAX_SPH_LIST)
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _closest_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
-        wt=wt, ws=ws, bfc=bfc, shared_origin=True, prune=prune,
+        wt=wt, ws=ws, bfc=bfc, shared_origin=True,
     )
     bundle = jnp.concatenate([dirs.T, jnp.zeros((1, r), jnp.float32)])
     blk = TPB * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=7,
         grid=(nt // TPB,),
         in_specs=[
             pl.BlockSpec((4, blk), lambda i, *_: (0, i)),
@@ -795,7 +787,7 @@ def _cluster_closest_call_shared(thit, shit, org, dirs, tri_dat, sph_dat,
             jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tw, tl, te, tc, sw, sl, se, sc, org, bundle, tri_dat, sph_dat)
+    )(tw, tl, tc, sw, sl, sc, org, bundle, tri_dat, sph_dat)
     return bt.reshape(r), bs.reshape(r)
 
 
