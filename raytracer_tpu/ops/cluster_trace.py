@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,8 +45,8 @@ MAX_SPH_LIST = 8
 MAX_NT = 1536       # tiles per pallas_call: bounds the SMEM-resident
                     # shortlists (~0.4 MB of the 1 MB budget); larger
                     # wavefronts run as sequential in-graph segments
-MISS = jnp.int32(-1)
-_BIG = jnp.float32(1e18)
+MISS = np.int32(-1)    # numpy scalars: importing this module must not
+_BIG = np.float32(1e18)  # initialize the JAX backend (multi-host bring-up)
 
 
 def _interpret() -> bool:

@@ -32,13 +32,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytracer_tpu.models.bvh import BVH
 from raytracer_tpu.models.scene import SceneData
 from raytracer_tpu.ops.intersect import aabb_intersect, sphere_intersect, tri_intersect
 
 # prim id encoding: [0, T_pad) = triangle index, [T_pad, T_pad+S_pad) = sphere.
-MISS = jnp.int32(-1)
+MISS = np.int32(-1)  # numpy scalar: importing this module must not init the backend
 
 
 def _gather_tris(data: SceneData):
