@@ -218,7 +218,15 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     )
     from raytracer_tpu.ops.tiling import from_blocks, to_blocks
 
-    origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h)
+    jitter = None
+    if ssaa_mode == "jitter" and ssaa > 1:
+        # deterministic per-band stochastic sample offsets in [-0.5, 0.5)
+        # (keyed on the band's first row, so a re-render is reproducible)
+        key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 row0.astype(jnp.int32))
+        jitter = jax.random.uniform(
+            key, (band_h, w, 2), jnp.float32, minval=-0.5, maxval=0.5)
+    origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h, jitter=jitter)
     if blocks is not None:
         dirs = to_blocks(dirs, band_h, w, *blocks)
     elif perm is not None:

@@ -73,22 +73,39 @@ def eye_rays_from(vec, width: int, height: int):
     return e, dirs
 
 
-def eye_rays_band(vec, width: int, height: int, row0, band_h: int):
+def eye_rays_band(vec, width: int, height: int, row0, band_h: int,
+                  jitter=None):
     """Eye rays for rows [row0, row0+band_h) of the full pixel grid.
 
     ``row0`` is TRACED (one compile serves every band of a streamed
     frame); only the band SHAPE is static.  Semantics identical to
     ``eye_rays_from`` restricted to those rows.
+
+    ``jitter`` ((band_h, W, 2) f32 in [-0.5, 0.5), optional) offsets each
+    sample from its pixel center — stochastic supersampling, a quality
+    extension beyond the reference's fixed-grid SSAA (raytracer.cpp:
+    506-512 only scales the resolution; centers stay at +0.5).
     """
     e, u, v, q, su_mult, sv_mult = camera_basis_from(vec, width, height)
     row0 = jnp.asarray(row0, jnp.float32)
-    cols = (jnp.arange(width, dtype=jnp.float32) + 0.5) * su_mult
-    rows = (row0 + jnp.arange(band_h, dtype=jnp.float32) + 0.5) * sv_mult
-    s = (
-        q[None, None, :]
-        + u[None, None, :] * cols[None, :, None]
-        - v[None, None, :] * rows[:, None, None]
-    )  # (band_h, W, 3)
+    if jitter is None:
+        cols = (jnp.arange(width, dtype=jnp.float32) + 0.5) * su_mult
+        rows = (row0 + jnp.arange(band_h, dtype=jnp.float32) + 0.5) * sv_mult
+        s = (
+            q[None, None, :]
+            + u[None, None, :] * cols[None, :, None]
+            - v[None, None, :] * rows[:, None, None]
+        )  # (band_h, W, 3)
+    else:
+        su = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+              + jitter[..., 0]) * su_mult                       # (band_h, W)
+        sv = (row0 + jnp.arange(band_h, dtype=jnp.float32)[:, None] + 0.5
+              + jitter[..., 1]) * sv_mult
+        s = (
+            q[None, None, :]
+            + u[None, None, :] * su[..., None]
+            - v[None, None, :] * sv[..., None]
+        )
     dirs = (s - e[None, None, :]).reshape(-1, 3)
     return e, dirs
 

@@ -28,9 +28,12 @@ def main(argv=None) -> None:
     ap.add_argument("scene", help="scene XML (CENG477 format)")
     ap.add_argument("--ssaa", type=int, default=2,
                     help="supersampling factor per dimension (1 = off)")
-    ap.add_argument("--ssaa-mode", choices=["parity", "mean"], default="parity",
+    ap.add_argument("--ssaa-mode", choices=["parity", "mean", "jitter"],
+                    default="parity",
                     help="parity: uint8 truncating box filter like the "
-                         "reference; mean: float mean before quantization")
+                         "reference; mean: float mean before quantization; "
+                         "jitter: stochastic sub-pixel sample offsets + "
+                         "float mean (quality extension, non-parity)")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
     ap.add_argument("--bfc", action="store_true",
@@ -108,7 +111,10 @@ def main(argv=None) -> None:
                 print(f"Rendering {cam.image_name} "
                       f"({rcam.width}x{rcam.height}, engine={args.engine})...")
                 t2 = time.perf_counter()
-                if rcam.width * rcam.height > args.chunk:
+                # jittered sampling perturbs the eye rays themselves, which
+                # only the band renderer supports — route it there always
+                force_stream = args.ssaa_mode == "jitter" and args.ssaa > 1
+                if rcam.width * rcam.height > args.chunk or force_stream:
                     # row-band streaming: ray state stays ~chunk-sized and
                     # the SSAA reduction runs on device per band (needed
                     # for e.g. 256x SSAA = 265M rays / 3.2 GB of dirs)

@@ -54,3 +54,24 @@ def test_streamed_mean_mode(scene):
         ssaa_mode="mean",
     ))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_streamed_jitter_mode(scene):
+    """Stochastic sub-pixel sampling (quality extension, non-parity):
+    deterministic per band key, close to the fixed-grid mean image, and
+    actually different from it (the jitter is live)."""
+    data, meta = scene
+    cam = dataclasses.replace(meta.cameras[0], width=48, height=48)
+    kwargs = dict(engine="brute", chunk=48 * 48, ssaa=2, ssaa_mode="jitter")
+    a = np.asarray(render_camera_streamed(data, meta, cam, **kwargs))
+    b = np.asarray(render_camera_streamed(data, meta, cam, **kwargs))
+    np.testing.assert_array_equal(a, b)  # reproducible
+
+    mean_img = np.asarray(render_camera_streamed(
+        data, meta, cam, engine="brute", chunk=48 * 48, ssaa=2,
+        ssaa_mode="mean",
+    ))
+    assert not np.array_equal(a, mean_img)  # offsets actually applied
+    # anti-aliased estimates of the same image: close in the mean
+    diff = np.abs(a.astype(np.int32) - mean_img.astype(np.int32))
+    assert diff.mean() < 4.0, diff.mean()
