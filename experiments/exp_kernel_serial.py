@@ -52,7 +52,9 @@ def run(tag, scene, ssaa, rows):
 
         @jax.jit
         def f(dirs):
-            # call through the private entry to control `prune`
+            # NOTE (round-2): the `prune` parameter was removed with the
+            # lanewise accumulators (ROADMAP); this script predates that
+            # and now ignores the flag — kept runnable for the archive.
             org_b = jnp.broadcast_to(jnp.asarray(origin), dirs.shape)
             rr, org_p, dirs_p, act = ct._pad_rays(org_b, dirs, None)
             thit = ct.tile_cluster_mask(
@@ -63,12 +65,12 @@ def run(tag, scene, ssaa, rows):
                 t, slot = ct._cluster_closest_call_shared(
                     thit, shit, jnp.asarray(origin), dirs_p,
                     cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph,
-                    False, prune)
+                    False)
             else:
                 t, slot = ct._cluster_closest_call(
                     thit, shit, org_p, dirs_p,
                     cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph,
-                    False, prune)
+                    False)
             return t[:rr], slot[:rr]
         return f
 

@@ -188,19 +188,13 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
     grids — every bundled scene) applies the tile order as a
     reshape/transpose instead of the perm/inv gathers (ops.tiling)."""
     from raytracer_tpu.ops.camera import eye_rays_from
-    from raytracer_tpu.ops.tiling import from_blocks, to_blocks
+    from raytracer_tpu.ops.tiling import apply_tile_order, undo_tile_order
 
     origin, dirs = eye_rays_from(cam_vec, w, h)
-    if blocks is not None:
-        dirs = to_blocks(dirs, h, w, *blocks)
-    elif perm is not None:
-        dirs = dirs[perm]
+    dirs = apply_tile_order(dirs, h, w, blocks, perm)
     color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
                         bfc=bfc)
-    if blocks is not None:
-        color = from_blocks(color, h, w, *blocks)
-    elif inv is not None:
-        color = color[inv]
+    color = undo_tile_order(color, h, w, blocks, inv)
     return color.reshape(h, w, 3)
 
 
@@ -216,7 +210,7 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     from raytracer_tpu.ops.image import (
         downsample_mean, downsample_parity, quantize,
     )
-    from raytracer_tpu.ops.tiling import from_blocks, to_blocks
+    from raytracer_tpu.ops.tiling import apply_tile_order, undo_tile_order
 
     jitter = None
     if ssaa_mode == "jitter" and ssaa > 1:
@@ -227,16 +221,10 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
         jitter = jax.random.uniform(
             key, (band_h, w, 2), jnp.float32, minval=-0.5, maxval=0.5)
     origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h, jitter=jitter)
-    if blocks is not None:
-        dirs = to_blocks(dirs, band_h, w, *blocks)
-    elif perm is not None:
-        dirs = dirs[perm]
+    dirs = apply_tile_order(dirs, band_h, w, blocks, perm)
     color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
                         bfc=bfc)
-    if blocks is not None:
-        color = from_blocks(color, band_h, w, *blocks)
-    elif inv is not None:
-        color = color[inv]
+    color = undo_tile_order(color, band_h, w, blocks, inv)
     color = color.reshape(band_h, w, 3)
     if ssaa <= 1:
         return quantize(color)
@@ -327,9 +315,11 @@ def render_camera(
 
     Rays are processed in fixed-size chunks so arbitrarily large frames fit
     in HBM and jit caches are reused across chunks and cameras.  With the
-    cluster engine, rays are re-ordered into square pixel tiles (16x16 for
-    TILE=256) so every kernel tile is a coherent frustum; the inverse
-    permutation restores image order afterwards.
+    cluster engine, rays are re-ordered into pixel blocks holding TILE
+    rays each (8x16 for TILE=128; see _tile_block_shape) so every kernel
+    tile is a coherent frustum — a pure reshape/transpose when the block
+    shape divides the frame, a perm/inv gather otherwise; the inverse
+    restores image order afterwards.
     """
     from raytracer_tpu.models.clusters import ClusterSet
 
@@ -364,12 +354,11 @@ def render_camera(
         )
     # chunked fallback for frames beyond the per-dispatch ray budget
     origin, dirs = eye_rays(cam)
-    if blocks is not None:
-        from raytracer_tpu.ops.tiling import to_blocks
+    from raytracer_tpu.ops.tiling import apply_tile_order, undo_tile_order
 
-        dirs = to_blocks(jnp.asarray(dirs), cam.height, cam.width, *blocks)
-    elif perm is not None:
-        dirs = dirs[jnp.asarray(perm)]
+    dirs = apply_tile_order(
+        jnp.asarray(dirs), cam.height, cam.width, blocks,
+        None if perm is None else jnp.asarray(perm))
     if engine == "cluster":
         from raytracer_tpu.ops.cluster_trace import TILE as _T
     else:
@@ -385,10 +374,7 @@ def render_camera(
                              engine, bfc=bfc)
         )
     color = jnp.concatenate(outs, axis=0)[:r]
-    if blocks is not None:
-        from raytracer_tpu.ops.tiling import from_blocks
-
-        color = from_blocks(color, cam.height, cam.width, *blocks)
-    elif inv is not None:
-        color = color[jnp.asarray(inv)]
+    color = undo_tile_order(
+        color, cam.height, cam.width, blocks,
+        None if inv is None else jnp.asarray(inv))
     return color.reshape(cam.height, cam.width, 3)

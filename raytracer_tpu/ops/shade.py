@@ -126,13 +126,16 @@ def refine_hit(data: SceneData, meta: SceneMeta, origin, dirs, prim) -> Hit:
 
 
 def _mat_lookup(mat_ids, *tables):
-    """Row-lookup of per-material columns via ONE one-hot MXU matmul.
+    """Row-lookup of per-material columns via a fused static select chain.
 
     Separate XLA gathers from the tiny (M, ·) material tables measured
-    ~10 ms per 1M rays for the shading set; (R, M) one-hot @ (M, K) runs
-    on the MXU in ~1.8 ms.  Multiplying by an exact 1.0 and adding exact
-    0.0 reproduces the gathered values bitwise (pinned by the golden
-    parity suite).  Returns one (R, k_i) array per input table."""
+    ~10 ms per 1M rays for the shading set; M where-selects over the
+    packed (M, K) rows fuse into one elementwise pass (~2 ms) and
+    reproduce the gathered values bitwise (pinned by the golden parity
+    suite and test_tiling.py).  Do NOT replace with a one-hot (R,M)@(M,K)
+    dot: it is equally fast on the MXU but its presence perturbs XLA's
+    fusion of the surrounding shading math and broke bitwise brute==bvh
+    engine equivalence.  Returns one (R, k_i) array per input table."""
     mat_ids = jax.lax.stop_gradient(mat_ids)
     cols = [t[:, None] if t.ndim == 1 else t for t in tables]
     widths = [c.shape[1] for c in cols]

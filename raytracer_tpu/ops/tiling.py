@@ -1,14 +1,15 @@
 """Pixel-tile ray ordering.
 
 The cluster engine's culling quality depends on rays within a TILE-sized
-contiguous run being spatially coherent.  Row-major order makes a 256-ray
-run a 1-pixel-tall sliver; re-ordering the flattened pixel axis into
-square blocks (16x16 for TILE=256) makes every run a compact frustum.
+contiguous run being spatially coherent.  Row-major order makes a
+TILE-ray run a 1-pixel-tall sliver; re-ordering the flattened pixel axis
+into blocks (8x16 for TILE=128) makes every run a compact frustum.
 
-The permutation is host-side numpy, computed once per (H, W) and applied
-as a device gather on ray directions; the inverse gather restores image
-order on the radiance output.  Shading is elementwise over rays, so the
-permutation is semantically invisible.
+When the block shape divides the frame — true for every bundled scene —
+the reorder is a pure reshape/transpose (`to_blocks`/`from_blocks`,
+bandwidth-bound); otherwise a host-precomputed permutation is applied as
+a device gather (`block_permutation`).  Shading is elementwise over
+rays, so the ordering is semantically invisible.
 """
 
 from __future__ import annotations
@@ -43,6 +44,25 @@ def from_blocks(x, h: int, w: int, bh: int, bw: int):
     y = x.reshape(h // bh, w // bw, bh, bw, *lead)
     y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(lead))))
     return y.reshape((h * w,) + tuple(lead))
+
+
+def apply_tile_order(x, h: int, w: int, blocks, perm):
+    """Row-major -> tile order: reshape/transpose when ``blocks=(bh, bw)``
+    is set, else a ``perm`` gather, else identity."""
+    if blocks is not None:
+        return to_blocks(x, h, w, *blocks)
+    if perm is not None:
+        return x[perm]
+    return x
+
+
+def undo_tile_order(x, h: int, w: int, blocks, inv):
+    """Tile order -> row-major (inverse of :func:`apply_tile_order`)."""
+    if blocks is not None:
+        return from_blocks(x, h, w, *blocks)
+    if inv is not None:
+        return x[inv]
+    return x
 
 
 @functools.lru_cache(maxsize=64)

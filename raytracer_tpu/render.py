@@ -102,6 +102,9 @@ def main(argv=None) -> None:
     print(f"Planted trees in {t1 - t0:.3f} seconds.")
     if args.ssaa > 1:
         print(f"Super Sampling Anti aliasing is enabled. ({args.ssaa}*{args.ssaa}x)")
+    elif args.ssaa_mode != "parity":
+        print(f"note: --ssaa-mode {args.ssaa_mode} has no effect at "
+              "--ssaa 1 (supersampling is off)")
 
     t_render = 0.0
     with profile_cm:

@@ -81,7 +81,7 @@ def test_two_process_distributed_render(tmp_path):
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "",
     }
-    port = "59123"
+    port = str(50000 + os.getpid() % 10000)  # avoid cross-run collisions
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), port],
