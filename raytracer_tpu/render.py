@@ -47,6 +47,10 @@ def main(argv=None) -> None:
                          "exists, else build and save them there (the npz "
                          "is self-describing; utils/checkpoint.py)")
     ap.add_argument("--out-dir", default=".", help="output directory")
+    ap.add_argument("--format", choices=["ppm", "png"], default="ppm",
+                    help="output image format: ppm (reference-parity ASCII "
+                         "P3, the scene XML's declared name) or png "
+                         "(8-bit RGB, ~50x smaller; extension swapped)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="render repetitions for benchmarking")
     ap.add_argument("--json-metrics", action="store_true",
@@ -157,7 +161,13 @@ def main(argv=None) -> None:
                         "n_tris": meta.n_tris, "n_spheres": meta.n_spheres,
                         "max_depth": meta.max_depth, "lights": meta.n_lights,
                     }))
-                write_ppm(f"{args.out_dir}/{cam.image_name}", img)
+                if args.format == "png":
+                    from raytracer_tpu.utils.png import write_png
+
+                    stem = cam.image_name.rsplit(".", 1)[0]
+                    write_png(f"{args.out_dir}/{stem}.png", img)
+                else:
+                    write_ppm(f"{args.out_dir}/{cam.image_name}", img)
     print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
     print(f"Total: {t_render / args.repeat + (t1 - t0):.3f} seconds.")
 
