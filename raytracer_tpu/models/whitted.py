@@ -200,11 +200,14 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
 
 @partial(jax.jit, static_argnames=(
     "meta", "h", "w", "band_h", "engine", "bfc", "ssaa", "ssaa_mode",
-    "blocks"))
+    "blocks", "hdr"))
 def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
-                     bvh, engine, bfc, ssaa, ssaa_mode, blocks=None):
+                     bvh, engine, bfc, ssaa, ssaa_mode, blocks=None,
+                     hdr=False):
     """One streamed row band: eye rays for rows [row0, row0+band_h) at the
-    SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8.
+    SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8
+    (``hdr=True`` skips quantization and returns float32 linear radiance
+    — the EXR output path; SSAA then always reduces as a float mean).
     ``row0`` is traced, so every equal-height band shares one compile."""
     from raytracer_tpu.ops.camera import eye_rays_band
     from raytracer_tpu.ops.image import (
@@ -226,6 +229,8 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
                         bfc=bfc)
     color = undo_tile_order(color, band_h, w, blocks, inv)
     color = color.reshape(band_h, w, 3)
+    if hdr:
+        return color if ssaa <= 1 else downsample_mean(color, ssaa)
     if ssaa <= 1:
         return quantize(color)
     if ssaa_mode == "parity":
@@ -253,9 +258,11 @@ def render_camera_streamed(
     bfc: bool = False,
     ssaa: int = 1,
     ssaa_mode: str = "parity",
+    hdr: bool = False,
 ):
     """Render one camera to a final-resolution (H, W, 3) uint8 image by
-    streaming ROW BANDS of the SSAA-scaled frame through the device.
+    streaming ROW BANDS of the SSAA-scaled frame through the device
+    (``hdr=True``: float32 linear radiance instead, for EXR output).
 
     Unlike ``render_camera`` (whole-frame float radiance), ray state never
     exceeds one band (~``chunk`` rays): a 256x-SSAA horse_and_mug frame is
@@ -296,7 +303,7 @@ def render_camera_streamed(
                 p, i = jnp.asarray(p), jnp.asarray(i)
         bands.append(_render_band_jit(
             data, meta, cam_vec, hs, ws, jnp.float32(row0), bh, p, i,
-            bvh, engine, bfc, ssaa, ssaa_mode, blocks=blocks,
+            bvh, engine, bfc, ssaa, ssaa_mode, blocks=blocks, hdr=hdr,
         ))
         row0 += bh
     return jnp.concatenate(bands, axis=0)

@@ -47,10 +47,14 @@ def main(argv=None) -> None:
                          "exists, else build and save them there (the npz "
                          "is self-describing; utils/checkpoint.py)")
     ap.add_argument("--out-dir", default=".", help="output directory")
-    ap.add_argument("--format", choices=["ppm", "png"], default="ppm",
+    ap.add_argument("--format", choices=["ppm", "png", "exr"], default="ppm",
                     help="output image format: ppm (reference-parity ASCII "
-                         "P3, the scene XML's declared name) or png "
-                         "(8-bit RGB, ~50x smaller; extension swapped)")
+                         "P3, the scene XML's declared name), png "
+                         "(8-bit RGB, ~50x smaller; extension swapped), or "
+                         "exr (HDR: linear float radiance before "
+                         "quantization, half-float scanline OpenEXR; SSAA "
+                         "reduces as a float mean — parity's uint8 "
+                         "truncating filter is meaningless pre-quantization)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="render repetitions for benchmarking")
     ap.add_argument("--json-metrics", action="store_true",
@@ -121,6 +125,7 @@ def main(argv=None) -> None:
                 # jittered sampling perturbs the eye rays themselves, which
                 # only the band renderer supports — route it there always
                 force_stream = args.ssaa_mode == "jitter" and args.ssaa > 1
+                hdr = args.format == "exr"
                 if rcam.width * rcam.height > args.chunk or force_stream:
                     # row-band streaming: ray state stays ~chunk-sized and
                     # the SSAA reduction runs on device per band (needed
@@ -130,13 +135,16 @@ def main(argv=None) -> None:
                     img = render_camera_streamed(
                         data, meta, cam, bvh=accel, engine=args.engine,
                         chunk=args.chunk, bfc=args.bfc, ssaa=args.ssaa,
-                        ssaa_mode=args.ssaa_mode,
+                        ssaa_mode=args.ssaa_mode, hdr=hdr,
                     )
                 else:
                     color = render_camera(data, meta, rcam, bvh=accel,
                                           engine=args.engine,
                                           chunk=args.chunk, bfc=args.bfc)
-                    if args.ssaa > 1:
+                    if hdr:
+                        img = (downsample_mean(color, args.ssaa)
+                               if args.ssaa > 1 else color)
+                    elif args.ssaa > 1:
                         if args.ssaa_mode == "parity":
                             img = downsample_parity(quantize(color), args.ssaa)
                         else:
@@ -166,6 +174,11 @@ def main(argv=None) -> None:
 
                     stem = cam.image_name.rsplit(".", 1)[0]
                     write_png(f"{args.out_dir}/{stem}.png", img)
+                elif args.format == "exr":
+                    from raytracer_tpu.utils.exr import write_exr
+
+                    stem = cam.image_name.rsplit(".", 1)[0]
+                    write_exr(f"{args.out_dir}/{stem}.exr", img)
                 else:
                     write_ppm(f"{args.out_dir}/{cam.image_name}", img)
     print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
