@@ -1,0 +1,179 @@
+"""Adaptive (variance-driven) supersampling, tile-granular by design.
+
+A quality/efficiency extension with no reference analog: the reference's
+only anti-aliasing is uniform SSAA — every pixel pays the same sample
+count whether it covers a flat wall or a silhouette edge
+(``/root/reference/raytracer.cpp:506-512`` just scales the resolution).
+Adaptive sampling spends a small uniform base pass, measures per-pixel
+sample variance, and concentrates extra samples where the variance says
+the estimate is still noisy (edges, checker transitions, mirror
+boundaries).
+
+TPU-first shape of the idea: the unit of refinement is NOT a pixel but a
+**pixel block** (8x16 = one cluster-kernel TILE, models/whitted.py
+``_tile_block_shape``).  Per-pixel refinement would hand the tracer a
+scattered, incoherent ray set — exactly what the lockstep cluster kernel
+is worst at — and dynamic per-pixel counts would break static shapes.
+Block granularity keeps every refinement wave a stack of coherent tile
+frustums with one static shape (k blocks x extra_spp x TILE rays), so the
+whole adaptive render is TWO fixed-shape dispatches: the base wave and
+the refinement wave, glued by a top_k over block variance scores (all
+on device; nothing data-dependent escapes to the host).
+
+Sample layout: rays are ordered (block, sample, lane) so each TILE-ray
+run the kernel sees is one block at one jitter — the same coherence the
+uniform path gets from ``ops.tiling``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.models.scene import Camera, SceneData, SceneMeta
+
+_LUM = np.array([0.2126, 0.7152, 0.0722], np.float32)  # Rec.709 luma
+
+
+def _tile_pixel_coords(h: int, w: int, bh: int, bw: int):
+    """Host-side (rows, cols, inv_or_None, n_pad) for tile-ordered pixels.
+
+    rows/cols are length R_pad = ceil(h*w / (bh*bw)) * bh*bw with trailing
+    pad lanes repeating the last pixel (only non-dividing frames pad; all
+    bundled scenes divide).  ``inv`` indexes tile order back to row-major
+    (None when a pure reshape works — ops.tiling.from_blocks).
+    """
+    from raytracer_tpu.ops.tiling import block_permutation, divides
+
+    r = h * w
+    tile = bh * bw
+    if divides(h, w, bh, bw):
+        perm, inv = block_permutation(h, w, bh, bw)
+        return perm // w, perm % w, None, 0
+    perm, inv = block_permutation(h, w, bh, bw)
+    pad = (-r) % tile
+    if pad:
+        perm = np.concatenate([perm, np.repeat(perm[-1:], pad)])
+    return perm // w, perm % w, inv, pad
+
+
+@partial(jax.jit, static_argnames=(
+    "meta", "h", "w", "engine", "bfc", "base_spp", "extra_spp", "k",
+    "tile", "reshape_blocks"))
+def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
+                  bvh, engine, bfc, base_spp, extra_spp, k, tile,
+                  reshape_blocks):
+    """The whole adaptive render as one traced graph: base wave ->
+    variance -> top-k blocks -> refinement wave -> merged mean."""
+    from raytracer_tpu.models.whitted import render_rays
+    from raytracer_tpu.ops.camera import eye_rays_pixels
+
+    nblk = rows_t.shape[0] // tile
+    rows_b = rows_t.reshape(nblk, tile)
+    cols_b = cols_t.reshape(nblk, tile)
+
+    def wave(rows2, cols2, spp, subkey):
+        """(B, tile) pixel coords -> (B, spp, tile, 3) per-sample color.
+        Sample 0 of the base wave is the deterministic pixel center (the
+        reference's sampling point); the rest jitter uniformly."""
+        b = rows2.shape[0]
+        rr = jnp.broadcast_to(rows2[:, None, :], (b, spp, tile)).reshape(-1)
+        cc = jnp.broadcast_to(cols2[:, None, :], (b, spp, tile)).reshape(-1)
+        jit_ = jax.random.uniform(subkey, (b, spp, tile, 2), jnp.float32,
+                                  minval=-0.5, maxval=0.5)
+        jit_ = jit_.at[:, 0].set(0.0).reshape(-1, 2)
+        e, dirs = eye_rays_pixels(cam_vec, w, h, rr, cc, jitter=jit_)
+        color = render_rays(data, meta, e, dirs, bvh=bvh, engine=engine,
+                            bfc=bfc)
+        return color.reshape(b, spp, tile, 3)
+
+    kb, kr = jax.random.split(key)
+    base = wave(rows_b, cols_b, base_spp, kb)        # (nblk, spp, tile, 3)
+    sum1 = jnp.sum(base, axis=1)                     # (nblk, tile, 3)
+    lum = base @ jnp.asarray(_LUM)                   # (nblk, spp, tile)
+    var = jnp.mean(lum * lum, axis=1) - jnp.square(jnp.mean(lum, axis=1))
+    score = jnp.mean(jnp.maximum(var, 0.0), axis=1)  # (nblk,)
+
+    counts = jnp.full((nblk, 1, 1), float(base_spp), jnp.float32)
+    if k > 0 and extra_spp > 0:
+        _, blk_ids = jax.lax.top_k(score, k)
+        extra = wave(rows_b[blk_ids], cols_b[blk_ids], extra_spp, kr)
+        sum1 = sum1.at[blk_ids].add(jnp.sum(extra, axis=1))
+        counts = counts.at[blk_ids].add(float(extra_spp))
+    mean = (sum1 / counts).reshape(-1, 3)            # tile order, padded
+
+    if reshape_blocks is not None:
+        from raytracer_tpu.ops.tiling import from_blocks
+
+        img = from_blocks(mean, h, w, *reshape_blocks)
+    else:
+        img = mean[inv]                              # drops pad lanes too
+    return img.reshape(h, w, 3), score
+
+
+def render_camera_adaptive(
+    data: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    bvh=None,
+    engine: str = "auto",
+    base_spp: int = 4,
+    extra_spp: int = 12,
+    refine_frac: float = 0.125,
+    seed: int = 0,
+    bfc: bool = False,
+):
+    """Render one camera adaptively to (H, W, 3) float32 radiance.
+
+    Every pixel gets ``base_spp`` jittered samples (sample 0 at the pixel
+    center); the top ``refine_frac`` of pixel blocks by luma sample
+    variance get ``extra_spp`` more.  Returns ``(image, stats)`` where
+    stats records the realized budget: at the defaults the frame costs
+    base 4 + 0.125*12 = 5.5 samples/pixel yet resolves edge blocks at 16.
+
+    Memory note: the base wave materializes H*W*base_spp rays in one
+    dispatch (layout (block, sample, lane)); a 1M-pixel frame at the
+    default 4 spp is the same ray count as uniform SSAA 2x.
+    """
+    from raytracer_tpu.models.clusters import ClusterSet
+    from raytracer_tpu.models.whitted import _tile_block_shape
+    from raytracer_tpu.ops.camera import camera_vectors
+    from raytracer_tpu.ops.tiling import divides
+
+    if base_spp < 2:
+        raise ValueError("adaptive sampling needs base_spp >= 2 "
+                         "(variance of one sample is identically zero)")
+    if engine == "auto":
+        if isinstance(bvh, ClusterSet):
+            engine = "cluster"
+        elif bvh is not None and meta.n_tris + meta.n_spheres > 64:
+            engine = "bvh"
+        else:
+            engine = "brute"
+    bh, bw = _tile_block_shape()
+    tile = bh * bw
+    rows, cols, inv, _pad = _tile_pixel_coords(cam.height, cam.width, bh, bw)
+    nblk = len(rows) // tile
+    k = min(nblk, max(1, round(refine_frac * nblk))) if extra_spp > 0 else 0
+    reshape_blocks = (bh, bw) if divides(cam.height, cam.width, bh, bw) \
+        else None
+    img, score = _adaptive_jit(
+        data, meta, jnp.asarray(camera_vectors(cam)), cam.height, cam.width,
+        jnp.asarray(rows, jnp.float32), jnp.asarray(cols, jnp.float32),
+        None if inv is None else jnp.asarray(inv),
+        jax.random.PRNGKey(seed), bvh, engine, bfc, base_spp, extra_spp,
+        k, tile, reshape_blocks,
+    )
+    r = cam.height * cam.width
+    stats = {
+        "blocks": nblk,
+        "refined_blocks": k,
+        "base_spp": base_spp,
+        "extra_spp": extra_spp,
+        "total_samples": len(rows) * base_spp + k * tile * extra_spp,
+        "mean_spp": (len(rows) * base_spp + k * tile * extra_spp) / r,
+    }
+    return img, stats

@@ -110,6 +110,28 @@ def eye_rays_band(vec, width: int, height: int, row0, band_h: int,
     return e, dirs
 
 
+def eye_rays_pixels(vec, width: int, height: int, rows, cols, jitter=None):
+    """Eye rays for an ARBITRARY set of pixels (not a dense grid).
+
+    ``rows``/``cols`` are (N,) pixel coordinates (row 0 = top, same
+    convention as the grid forms); ``jitter`` ((N, 2) f32 in [-0.5, 0.5),
+    optional) offsets each sample from its pixel center.  This is the
+    generator behind adaptive sampling (ops.adaptive): refinement waves
+    re-sample only selected pixel blocks, so ray N maps to whatever pixel
+    the caller chose rather than a raster position.  Semantics otherwise
+    identical to ``eye_rays_from``.
+    """
+    e, u, v, q, su_mult, sv_mult = camera_basis_from(vec, width, height)
+    rows = jnp.asarray(rows, jnp.float32)
+    cols = jnp.asarray(cols, jnp.float32)
+    jx = jitter[..., 0] if jitter is not None else 0.0
+    jy = jitter[..., 1] if jitter is not None else 0.0
+    su = (cols + 0.5 + jx) * su_mult          # (N,)
+    sv = (rows + 0.5 + jy) * sv_mult
+    s = q[None, :] + u[None, :] * su[:, None] - v[None, :] * sv[:, None]
+    return e, s - e[None, :]
+
+
 def eye_rays(cam: Camera):
     """Eye rays for the full pixel grid.
 

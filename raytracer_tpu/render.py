@@ -28,12 +28,22 @@ def main(argv=None) -> None:
     ap.add_argument("scene", help="scene XML (CENG477 format)")
     ap.add_argument("--ssaa", type=int, default=2,
                     help="supersampling factor per dimension (1 = off)")
-    ap.add_argument("--ssaa-mode", choices=["parity", "mean", "jitter"],
+    ap.add_argument("--ssaa-mode",
+                    choices=["parity", "mean", "jitter", "adaptive"],
                     default="parity",
                     help="parity: uint8 truncating box filter like the "
                          "reference; mean: float mean before quantization; "
                          "jitter: stochastic sub-pixel sample offsets + "
-                         "float mean (quality extension, non-parity)")
+                         "float mean (quality extension, non-parity); "
+                         "adaptive: variance-driven refinement — every "
+                         "pixel gets ssaa^2 jittered samples, the noisiest "
+                         "--adaptive-frac of pixel blocks get "
+                         "--adaptive-extra more (ops/adaptive.py)")
+    ap.add_argument("--adaptive-frac", type=float, default=0.125,
+                    help="adaptive mode: fraction of pixel blocks refined")
+    ap.add_argument("--adaptive-extra", type=int, default=None,
+                    help="adaptive mode: extra samples for refined blocks "
+                         "(default 3x the base ssaa^2)")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
     ap.add_argument("--bfc", action="store_true",
@@ -110,7 +120,7 @@ def main(argv=None) -> None:
     print(f"Planted trees in {t1 - t0:.3f} seconds.")
     if args.ssaa > 1:
         print(f"Super Sampling Anti aliasing is enabled. ({args.ssaa}*{args.ssaa}x)")
-    elif args.ssaa_mode != "parity":
+    elif args.ssaa_mode in ("mean", "jitter"):
         print(f"note: --ssaa-mode {args.ssaa_mode} has no effect at "
               "--ssaa 1 (supersampling is off)")
 
@@ -126,7 +136,24 @@ def main(argv=None) -> None:
                 # only the band renderer supports — route it there always
                 force_stream = args.ssaa_mode == "jitter" and args.ssaa > 1
                 hdr = args.format == "exr"
-                if rcam.width * rcam.height > args.chunk or force_stream:
+                adaptive_stats = None
+                if args.ssaa_mode == "adaptive":
+                    from raytracer_tpu.ops.adaptive import render_camera_adaptive
+
+                    # variance needs >= 2 samples; at --ssaa 1 adaptive
+                    # still supersamples (2 base + refined extras)
+                    base = max(2, args.ssaa * args.ssaa)
+                    rcam = cam  # adaptive samples at final resolution
+                    color, adaptive_stats = render_camera_adaptive(
+                        data, meta, cam, bvh=accel, engine=args.engine,
+                        base_spp=base,
+                        extra_spp=(args.adaptive_extra
+                                   if args.adaptive_extra is not None
+                                   else 3 * base),
+                        refine_frac=args.adaptive_frac, bfc=args.bfc,
+                    )
+                    img = color if hdr else quantize(color)
+                elif rcam.width * rcam.height > args.chunk or force_stream:
                     # row-band streaming: ray state stays ~chunk-sized and
                     # the SSAA reduction runs on device per band (needed
                     # for e.g. 256x SSAA = 265M rays / 3.2 GB of dirs)
@@ -159,7 +186,7 @@ def main(argv=None) -> None:
                 if args.json_metrics:
                     import json
 
-                    print(json.dumps({
+                    line = {
                         "camera": cam.image_name,
                         "width": rcam.width, "height": rcam.height,
                         "primary_rays": rays,
@@ -168,7 +195,10 @@ def main(argv=None) -> None:
                         "engine": args.engine, "ssaa": args.ssaa,
                         "n_tris": meta.n_tris, "n_spheres": meta.n_spheres,
                         "max_depth": meta.max_depth, "lights": meta.n_lights,
-                    }))
+                    }
+                    if adaptive_stats is not None:
+                        line["adaptive"] = adaptive_stats
+                    print(json.dumps(line))
                 if args.format == "png":
                     from raytracer_tpu.utils.png import write_png
 

@@ -1,0 +1,118 @@
+"""Adaptive (variance-driven) sampling — ops/adaptive.py.
+
+No reference analog (the reference only has uniform SSAA,
+raytracer.cpp:506-512).  Properties pinned here: exact refinement budget
+at tile granularity, unrefined blocks bitwise-identical to the base-only
+render, noise reduction at equal seeds, determinism, and the CLI mode.
+"""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.models.scene import load_scene
+from raytracer_tpu.ops.adaptive import render_camera_adaptive
+
+SCENE = "tests/data/entry_scene.xml"
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return load_scene(SCENE)
+
+
+def test_budget_shapes_and_stats(scene):
+    data, meta = scene
+    img, stats = render_camera_adaptive(
+        data, meta, meta.cameras[0], engine="brute", base_spp=4,
+        extra_spp=12, refine_frac=0.25)
+    cam = meta.cameras[0]
+    assert img.shape == (cam.height, cam.width, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert stats["blocks"] == cam.height * cam.width // 128
+    assert stats["refined_blocks"] == round(0.25 * stats["blocks"])
+    assert stats["mean_spp"] == pytest.approx(4 + 0.25 * 12)
+
+
+def test_exactly_k_blocks_refined(scene):
+    """Unrefined blocks must be bitwise equal to the base-only render —
+    refinement only ever ADDS samples to the chosen blocks."""
+    from raytracer_tpu.models.whitted import _tile_block_shape
+    from raytracer_tpu.ops.tiling import to_blocks
+
+    data, meta = scene
+    cam = meta.cameras[0]
+    base_only, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=0)
+    refined, stats = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
+        refine_frac=0.25)
+    bh, bw = _tile_block_shape()
+    d = np.asarray(to_blocks(
+        (np.asarray(base_only) != np.asarray(refined)).any(axis=-1)
+        .reshape(-1, 1), cam.height, cam.width, bh, bw))
+    changed = d.reshape(stats["blocks"], bh * bw).any(axis=1)
+    assert changed.sum() == stats["refined_blocks"]
+
+
+def test_refinement_reduces_error(scene):
+    """With the same base seed, spending extra samples on the noisiest
+    blocks must move the image toward an independent high-spp truth."""
+    data, meta = scene
+    cam = meta.cameras[0]
+    truth, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=48, extra_spp=0, seed=7)
+    base_only, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=0, seed=0)
+    refined, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
+        refine_frac=0.25, seed=0)
+    t = np.asarray(truth)
+    mse_base = float(np.mean((np.asarray(base_only) - t) ** 2))
+    mse_ref = float(np.mean((np.asarray(refined) - t) ** 2))
+    assert mse_ref < mse_base
+
+
+def test_deterministic(scene):
+    data, meta = scene
+    cam = meta.cameras[0]
+    a, _ = render_camera_adaptive(data, meta, cam, engine="brute",
+                                  base_spp=3, extra_spp=6, seed=3)
+    b, _ = render_camera_adaptive(data, meta, cam, engine="brute",
+                                  base_spp=3, extra_spp=6, seed=3)
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_base_spp_guard(scene):
+    data, meta = scene
+    with pytest.raises(ValueError):
+        render_camera_adaptive(data, meta, meta.cameras[0], engine="brute",
+                               base_spp=1)
+
+
+def test_cluster_engine_agrees_with_brute(scene):
+    """The engine only changes visibility lookup, not sampling: both
+    engines must refine the same blocks and render ~identical radiance."""
+    from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.clusters import build_clusters
+
+    data, meta = scene
+    cam = meta.cameras[0]
+    accel = build_clusters(data, meta, build_bvh(data, meta))
+    a, _ = render_camera_adaptive(data, meta, cam, engine="brute",
+                                  base_spp=2, extra_spp=4, seed=1)
+    b, _ = render_camera_adaptive(data, meta, cam, bvh=accel,
+                                  engine="cluster", base_spp=2,
+                                  extra_spp=4, seed=1)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+def test_cli_adaptive(tmp_path, capsys):
+    from raytracer_tpu.render import main
+    from raytracer_tpu.utils.ppm import read_ppm
+
+    main([SCENE, "--ssaa", "2", "--ssaa-mode", "adaptive", "--engine",
+          "brute", "--out-dir", str(tmp_path), "--json-metrics"])
+    out = capsys.readouterr().out
+    assert '"adaptive"' in out and '"refined_blocks"' in out
+    img = read_ppm(str(tmp_path / "entry_scene.ppm"))
+    assert img.shape == (64, 64, 3)
