@@ -106,6 +106,45 @@ def test_cluster_engine_agrees_with_brute(scene):
     assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-2)
 
 
+def test_non_dividing_frame(scene):
+    """A frame that does NOT tile evenly into 8x16 blocks exercises the
+    pad + inverse-permutation path of _tile_pixel_coords; the result must
+    equal a straight re-computation of the same sample stream without any
+    tiling (pixel means are layout-invariant)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.models.whitted import _render_rays_jit
+    from raytracer_tpu.ops.adaptive import _tile_pixel_coords
+    from raytracer_tpu.ops.camera import camera_vectors, eye_rays_pixels
+
+    data, meta = scene
+    cam = dataclasses.replace(meta.cameras[0], width=50, height=50)
+    img, stats = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=3, extra_spp=0, seed=5)
+    assert img.shape == (50, 50, 3)
+
+    # reference computation: same PRNG stream, same tile-ordered layout,
+    # but per-pixel means assembled by plain numpy indexing
+    rows, cols, inv, pad = _tile_pixel_coords(50, 50, 8, 16)
+    assert pad > 0 and inv is not None
+    nblk, tile, spp = len(rows) // 128, 128, 3
+    kb, _ = jax.random.split(jax.random.PRNGKey(5))
+    jit_ = jax.random.uniform(kb, (nblk, spp, tile, 2), jnp.float32,
+                              minval=-0.5, maxval=0.5).at[:, 0].set(0.0)
+    rr = np.broadcast_to(rows.reshape(nblk, 1, tile), (nblk, spp, tile))
+    cc = np.broadcast_to(cols.reshape(nblk, 1, tile), (nblk, spp, tile))
+    e, dirs = eye_rays_pixels(jnp.asarray(camera_vectors(cam)), 50, 50,
+                              rr.reshape(-1), cc.reshape(-1),
+                              jitter=jit_.reshape(-1, 2))
+    color = np.asarray(_render_rays_jit(data, meta, e, dirs, None, "brute"))
+    mean = color.reshape(nblk, spp, tile, 3).mean(axis=1).reshape(-1, 3)
+    expect = mean[inv].reshape(50, 50, 3)
+    assert np.allclose(np.asarray(img), expect, atol=1e-5)
+
+
 def test_cli_adaptive(tmp_path, capsys):
     from raytracer_tpu.render import main
     from raytracer_tpu.utils.ppm import read_ppm
