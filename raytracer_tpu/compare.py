@@ -25,6 +25,13 @@ def _read(path: str) -> np.ndarray:
         from raytracer_tpu.utils.png import read_png
 
         return read_png(path)
+    if path.endswith(".exr"):
+        # HDR radiance: quantize with the renderer's tone semantics so
+        # the stats stay in the same uint8 domain as PPM/PNG inputs
+        from raytracer_tpu.utils.exr import read_exr
+
+        radiance = np.clip(read_exr(path), 0.0, 255.0)
+        return np.floor(radiance + 0.5).astype(np.uint8)
     from raytracer_tpu.utils.ppm import read_ppm
 
     return read_ppm(path)

@@ -23,6 +23,20 @@ def test_diff_stats_counts():
     assert s["channels_gt_8"] == 1
 
 
+def test_cli_exr_input_quantized(tmp_path):
+    """An EXR input is quantized with the renderer's tone semantics, so a
+    PPM and the EXR of the same radiance compare as equal."""
+    from raytracer_tpu.utils.exr import write_exr
+
+    rng = np.random.default_rng(2)
+    radiance = (rng.random((6, 5, 3)) * 300.0).astype(np.float32)
+    q = np.floor(np.clip(radiance, 0, 255) + 0.5).astype(np.uint8)
+    pe, pp = str(tmp_path / "r.exr"), str(tmp_path / "r.ppm")
+    write_exr(pe, radiance, half=False)
+    write_ppm(pp, q)
+    assert main([pe, pp, "--frac-tol", "0"]) == 0
+
+
 def test_cli_match_and_mismatch(tmp_path):
     a = np.zeros((8, 8, 3), np.uint8)
     b = a.copy()
