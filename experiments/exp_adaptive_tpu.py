@@ -30,11 +30,21 @@ accel = jax.device_put(build_clusters(data, meta, bvh))
 data = jax.device_put(data)
 cam = meta.cameras[0]
 
+def _sync(x):
+    # NOTE: jax.block_until_ready does NOT reliably drain the device
+    # queue through the axon tunnel (a 66M-ray render "completed" in
+    # 11 ms and its work leaked into later timings).  A 4-byte scalar
+    # reduction fetch is the only trustworthy sync here — same device
+    # sync bench.py uses.
+    return float(jnp.sum(jnp.asarray(x).astype(jnp.float32)))
+
+
 def timed(label, fn):
-    fn()  # compile
+    out = fn()
+    _sync(out)  # compile + drain
     t0 = time.perf_counter()
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     dt = time.perf_counter() - t0
     print(f"{label}: {dt:.3f} s")
     return np.asarray(out), dt

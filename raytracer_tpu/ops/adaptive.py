@@ -20,9 +20,16 @@ whole adaptive render is TWO fixed-shape dispatches: the base wave and
 the refinement wave, glued by a top_k over block variance scores (all
 on device; nothing data-dependent escapes to the host).
 
-Sample layout: rays are ordered (block, sample, lane) so each TILE-ray
-run the kernel sees is one block at one jitter — the same coherence the
-uniform path gets from ``ops.tiling``.
+Sample layout: a TILE-ray run must be a TIGHT frustum — the cluster
+shortlist's work scales with the tile's pixel footprint.  Laying one
+whole 8x16 block at one jitter per run costs a 4x-area frustum vs the
+uniform SSAA path (whose blocks live in the SCALED pixel grid) and
+measured 1.5x slower per ray on horse_and_mug.  Instead samples are
+grouped: with group size g (the largest power-of-2 divisor of spp, <=8),
+each 128-ray run is one SUB-block of 128/g pixels x g consecutive
+samples — spp=4 gives 2x16-pixel frusta x 4 samples, matching the
+uniform path's footprint-per-tile.  Order: (block, sample_group,
+sub_block, sample_in_group, pixel).
 """
 
 from __future__ import annotations
@@ -36,6 +43,16 @@ import numpy as np
 from raytracer_tpu.models.scene import Camera, SceneData, SceneMeta
 
 _LUM = np.array([0.2126, 0.7152, 0.0722], np.float32)  # Rec.709 luma
+
+
+def sample_group(spp: int) -> int:
+    """Samples per 128-ray kernel run: the largest power-of-2 divisor of
+    spp, capped at 8 (a 16-pixel frustum is already tighter than the
+    shortlist's win justifies)."""
+    g = 1
+    while spp % (g * 2) == 0 and g < 8:
+        g *= 2
+    return g
 
 
 def _tile_pixel_coords(h: int, w: int, bh: int, bw: int):
@@ -77,17 +94,28 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
 
     def wave(rows2, cols2, spp, subkey):
         """(B, tile) pixel coords -> (B, spp, tile, 3) per-sample color.
-        Sample 0 of the base wave is the deterministic pixel center (the
-        reference's sampling point); the rest jitter uniformly."""
+        Sample 0 is the deterministic pixel center (the reference's
+        sampling point); the rest jitter uniformly.  Rays are laid out
+        (B, spp//g, g sub-blocks, g samples, tile//g pixels) so each
+        TILE-ray kernel run is a tight sub-block frustum (see module
+        docstring); the return value is back in logical order."""
         b = rows2.shape[0]
-        rr = jnp.broadcast_to(rows2[:, None, :], (b, spp, tile)).reshape(-1)
-        cc = jnp.broadcast_to(cols2[:, None, :], (b, spp, tile)).reshape(-1)
+        g = sample_group(spp)
+        og, p = spp // g, tile // g
+        # logical sample space (b, spp, tile); sample 0 = pixel center
         jit_ = jax.random.uniform(subkey, (b, spp, tile, 2), jnp.float32,
-                                  minval=-0.5, maxval=0.5)
-        jit_ = jit_.at[:, 0].set(0.0).reshape(-1, 2)
-        e, dirs = eye_rays_pixels(cam_vec, w, h, rr, cc, jitter=jit_)
+                                  minval=-0.5, maxval=0.5).at[:, 0].set(0.0)
+        # physical: (b, outer o, sub-block j, in-group sample, pixel)
+        jit_p = jit_.reshape(b, og, g, g, p, 2).transpose(0, 1, 3, 2, 4, 5)
+        rr = jnp.broadcast_to(rows2.reshape(b, 1, g, 1, p),
+                              (b, og, g, g, p)).reshape(-1)
+        cc = jnp.broadcast_to(cols2.reshape(b, 1, g, 1, p),
+                              (b, og, g, g, p)).reshape(-1)
+        e, dirs = eye_rays_pixels(cam_vec, w, h, rr, cc,
+                                  jitter=jit_p.reshape(-1, 2))
         color = render_rays(data, meta, e, dirs, bvh=bvh, engine=engine,
                             bfc=bfc)
+        color = color.reshape(b, og, g, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
         return color.reshape(b, spp, tile, 3)
 
     kb, kr = jax.random.split(key)
@@ -135,8 +163,8 @@ def render_camera_adaptive(
     base 4 + 0.125*12 = 5.5 samples/pixel yet resolves edge blocks at 16.
 
     Memory note: the base wave materializes H*W*base_spp rays in one
-    dispatch (layout (block, sample, lane)); a 1M-pixel frame at the
-    default 4 spp is the same ray count as uniform SSAA 2x.
+    dispatch (grouped-sample layout, see module docstring); a 1M-pixel
+    frame at the default 4 spp is the same ray count as uniform SSAA 2x.
     """
     from raytracer_tpu.models.clusters import ClusterSet
     from raytracer_tpu.models.whitted import _tile_block_shape
