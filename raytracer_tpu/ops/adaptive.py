@@ -10,15 +10,17 @@ the estimate is still noisy (edges, checker transitions, mirror
 boundaries).
 
 TPU-first shape of the idea: the unit of refinement is NOT a pixel but a
-**pixel block** (8x16 = one cluster-kernel TILE, models/whitted.py
-``_tile_block_shape``).  Per-pixel refinement would hand the tracer a
-scattered, incoherent ray set — exactly what the lockstep cluster kernel
-is worst at — and dynamic per-pixel counts would break static shapes.
-Block granularity keeps every refinement wave a stack of coherent tile
-frustums with one static shape (k blocks x extra_spp x TILE rays), so the
-whole adaptive render is TWO fixed-shape dispatches: the base wave and
-the refinement wave, glued by a top_k over block variance scores (all
-on device; nothing data-dependent escapes to the host).
+**pixel block** (8x16 = one cluster-kernel TILE of pixels,
+models/whitted.py ``_tile_block_shape``).  Per-pixel refinement would
+hand the tracer a scattered, incoherent ray set — exactly what the
+lockstep cluster kernel is worst at — and dynamic per-pixel counts would
+break static shapes.  Block granularity keeps every refinement wave a
+stack of coherent tile frustums with one static shape (k blocks x
+extra_spp x TILE rays), so the whole adaptive render is TWO fixed-shape
+dispatches: the base wave and the refinement wave, glued by a top_k over
+block variance scores (all on device; nothing data-dependent escapes to
+the host).  (32-pixel sub-block selection was tried and measured a wash
+— see the comment at p_sel in ``_adaptive_jit``.)
 
 Sample layout: a TILE-ray run must be a TIGHT frustum — the cluster
 shortlist's work scales with the tile's pixel footprint.  Laying one
@@ -93,44 +95,58 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
     cols_b = cols_t.reshape(nblk, tile)
 
     def wave(rows2, cols2, spp, subkey):
-        """(B, tile) pixel coords -> (B, spp, tile, 3) per-sample color.
+        """(B, np) pixel coords -> (B, spp, np, 3) per-sample color.
         Sample 0 is the deterministic pixel center (the reference's
         sampling point); the rest jitter uniformly.  Rays are laid out
-        (B, spp//g, g sub-blocks, g samples, tile//g pixels) so each
+        (B, spp//g, sub-blocks, g samples, tile//g pixels) so each
         TILE-ray kernel run is a tight sub-block frustum (see module
         docstring); the return value is back in logical order."""
-        b = rows2.shape[0]
+        b, npx = rows2.shape
         g = sample_group(spp)
         og, p = spp // g, tile // g
-        # logical sample space (b, spp, tile); sample 0 = pixel center
-        jit_ = jax.random.uniform(subkey, (b, spp, tile, 2), jnp.float32,
+        sub = npx // p  # sub-blocks per coord row (np must divide by p)
+        # logical sample space (b, spp, np); sample 0 = pixel center
+        jit_ = jax.random.uniform(subkey, (b, spp, npx, 2), jnp.float32,
                                   minval=-0.5, maxval=0.5).at[:, 0].set(0.0)
         # physical: (b, outer o, sub-block j, in-group sample, pixel)
-        jit_p = jit_.reshape(b, og, g, g, p, 2).transpose(0, 1, 3, 2, 4, 5)
-        rr = jnp.broadcast_to(rows2.reshape(b, 1, g, 1, p),
-                              (b, og, g, g, p)).reshape(-1)
-        cc = jnp.broadcast_to(cols2.reshape(b, 1, g, 1, p),
-                              (b, og, g, g, p)).reshape(-1)
+        jit_p = jit_.reshape(b, og, g, sub, p, 2).transpose(0, 1, 3, 2, 4, 5)
+        rr = jnp.broadcast_to(rows2.reshape(b, 1, sub, 1, p),
+                              (b, og, sub, g, p)).reshape(-1)
+        cc = jnp.broadcast_to(cols2.reshape(b, 1, sub, 1, p),
+                              (b, og, sub, g, p)).reshape(-1)
         e, dirs = eye_rays_pixels(cam_vec, w, h, rr, cc,
                                   jitter=jit_p.reshape(-1, 2))
         color = render_rays(data, meta, e, dirs, bvh=bvh, engine=engine,
                             bfc=bfc)
-        color = color.reshape(b, og, g, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
-        return color.reshape(b, spp, tile, 3)
+        color = color.reshape(b, og, sub, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        return color.reshape(b, spp, npx, 3)
 
     kb, kr = jax.random.split(key)
     base = wave(rows_b, cols_b, base_spp, kb)        # (nblk, spp, tile, 3)
     sum1 = jnp.sum(base, axis=1)                     # (nblk, tile, 3)
     lum = base @ jnp.asarray(_LUM)                   # (nblk, spp, tile)
     var = jnp.mean(lum * lum, axis=1) - jnp.square(jnp.mean(lum, axis=1))
-    score = jnp.mean(jnp.maximum(var, 0.0), axis=1)  # (nblk,)
 
-    counts = jnp.full((nblk, 1, 1), float(base_spp), jnp.float32)
+    # Selection granularity: whole 128-pixel blocks.  Finer (32-pixel
+    # sub-block) targeting was implemented and MEASURED A WASH on TPU
+    # (low_poly: MSE 3.21 -> 3.23 at 12.5%, 2.54 -> 2.81 at 25%): the
+    # 4x aiming precision is cancelled by 4x noisier variance estimates
+    # (base_spp*p_sel samples per score), and edges cross whole blocks
+    # anyway.  The machinery below stays generic over p_sel should a
+    # smoothed-score variant revisit this.
+    p_sel = tile
+    nsel = (nblk * tile) // p_sel
+    score = jnp.mean(jnp.maximum(var, 0.0).reshape(nsel, p_sel), axis=1)
+
+    sum1 = sum1.reshape(nsel, p_sel, 3)
+    counts = jnp.full((nsel, 1, 1), float(base_spp), jnp.float32)
     if k > 0 and extra_spp > 0:
-        _, blk_ids = jax.lax.top_k(score, k)
-        extra = wave(rows_b[blk_ids], cols_b[blk_ids], extra_spp, kr)
-        sum1 = sum1.at[blk_ids].add(jnp.sum(extra, axis=1))
-        counts = counts.at[blk_ids].add(float(extra_spp))
+        _, sel_ids = jax.lax.top_k(score, k)
+        rows_s = rows_t.reshape(nsel, p_sel)[sel_ids]
+        cols_s = cols_t.reshape(nsel, p_sel)[sel_ids]
+        extra = wave(rows_s, cols_s, extra_spp, kr)  # (k, spp, p_sel, 3)
+        sum1 = sum1.at[sel_ids].add(jnp.sum(extra, axis=1))
+        counts = counts.at[sel_ids].add(float(extra_spp))
     mean = (sum1 / counts).reshape(-1, 3)            # tile order, padded
 
     if reshape_blocks is not None:
@@ -185,7 +201,11 @@ def render_camera_adaptive(
     tile = bh * bw
     rows, cols, inv, _pad = _tile_pixel_coords(cam.height, cam.width, bh, bw)
     nblk = len(rows) // tile
-    k = min(nblk, max(1, round(refine_frac * nblk))) if extra_spp > 0 else 0
+    # refinement unit: whole blocks (must mirror _adaptive_jit's p_sel;
+    # sub-block selection measured a wash — see comment there)
+    p_sel = tile
+    nsel = len(rows) // p_sel
+    k = min(nsel, max(1, round(refine_frac * nsel))) if extra_spp > 0 else 0
     reshape_blocks = (bh, bw) if divides(cam.height, cam.width, bh, bw) \
         else None
     img, score = _adaptive_jit(
@@ -198,10 +218,12 @@ def render_camera_adaptive(
     r = cam.height * cam.width
     stats = {
         "blocks": nblk,
+        "refine_units": nsel,
+        "refine_unit_px": p_sel,
         "refined_blocks": k,
         "base_spp": base_spp,
         "extra_spp": extra_spp,
-        "total_samples": len(rows) * base_spp + k * tile * extra_spp,
-        "mean_spp": (len(rows) * base_spp + k * tile * extra_spp) / r,
+        "total_samples": len(rows) * base_spp + k * p_sel * extra_spp,
+        "mean_spp": (len(rows) * base_spp + k * p_sel * extra_spp) / r,
     }
     return img, stats

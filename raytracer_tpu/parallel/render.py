@@ -79,6 +79,24 @@ def render_camera_sharded(
     """Render one camera over the mesh; returns host (H, W, 3) float32."""
     origin, dirs = eye_rays(cam)
     r = dirs.shape[0]
+    blocks = perm = inv = None
+    if engine == "cluster":
+        # the cluster engine's shortlist quality depends on TILE-ray runs
+        # being coherent pixel blocks (ops.tiling); order BEFORE sharding
+        # so every shard receives whole blocks, undo after assembly
+        from raytracer_tpu.models.whitted import _tile_block_shape
+        from raytracer_tpu.ops.tiling import (
+            apply_tile_order, block_permutation, divides,
+        )
+
+        bh, bw = _tile_block_shape()
+        if divides(cam.height, cam.width, bh, bw):
+            blocks = (bh, bw)
+        else:
+            perm, inv = block_permutation(cam.height, cam.width, bh, bw)
+        dirs = apply_tile_order(
+            jnp.asarray(dirs), cam.height, cam.width, blocks,
+            None if perm is None else jnp.asarray(perm))
     n = mesh.size
     pad = (-r) % n
     if pad:
@@ -91,4 +109,9 @@ def render_camera_sharded(
     from raytracer_tpu.parallel.distributed import assemble_image
 
     # per-host tile gather (works multi-process, unlike a bare np.asarray)
-    return assemble_image(color)[:r].reshape(cam.height, cam.width, 3)
+    color = assemble_image(color)[:r]
+    if engine == "cluster":
+        from raytracer_tpu.ops.tiling import undo_tile_order
+
+        color = undo_tile_order(color, cam.height, cam.width, blocks, inv)
+    return color.reshape(cam.height, cam.width, 3)

@@ -29,13 +29,15 @@ def test_budget_shapes_and_stats(scene):
     assert img.shape == (cam.height, cam.width, 3)
     assert np.isfinite(np.asarray(img)).all()
     assert stats["blocks"] == cam.height * cam.width // 128
-    assert stats["refined_blocks"] == round(0.25 * stats["blocks"])
+    assert stats["refine_unit_px"] == 128  # whole blocks (see adaptive.py)
+    assert stats["refine_units"] == stats["blocks"]
+    assert stats["refined_blocks"] == round(0.25 * stats["refine_units"])
     assert stats["mean_spp"] == pytest.approx(4 + 0.25 * 12)
 
 
-def test_exactly_k_blocks_refined(scene):
-    """Unrefined blocks must be bitwise equal to the base-only render —
-    refinement only ever ADDS samples to the chosen blocks."""
+def test_exactly_k_units_refined(scene):
+    """Unrefined units must be bitwise equal to the base-only render —
+    refinement only ever ADDS samples to the chosen sub-blocks."""
     from raytracer_tpu.models.whitted import _tile_block_shape
     from raytracer_tpu.ops.tiling import to_blocks
 
@@ -43,14 +45,21 @@ def test_exactly_k_blocks_refined(scene):
     cam = meta.cameras[0]
     base_only, _ = render_camera_adaptive(
         data, meta, cam, engine="brute", base_spp=4, extra_spp=0)
+    # frac must stay below the scene's noisy-unit fraction: a refined
+    # unit with zero sample variance (constant radiance) is bitwise
+    # unchanged by extra samples, so it would not count as "changed"
     refined, stats = render_camera_adaptive(
         data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
-        refine_frac=0.25)
+        refine_frac=0.125)
+    # a refinement unit = p_sel consecutive tile-order lanes = a
+    # (p_sel/bw) x bw image strip; count changed strips
     bh, bw = _tile_block_shape()
+    sh = stats["refine_unit_px"] // bw
     d = np.asarray(to_blocks(
         (np.asarray(base_only) != np.asarray(refined)).any(axis=-1)
-        .reshape(-1, 1), cam.height, cam.width, bh, bw))
-    changed = d.reshape(stats["blocks"], bh * bw).any(axis=1)
+        .reshape(-1, 1), cam.height, cam.width, sh, bw))
+    changed = d.reshape(stats["refine_units"],
+                        stats["refine_unit_px"]).any(axis=1)
     assert changed.sum() == stats["refined_blocks"]
 
 

@@ -45,6 +45,44 @@ def test_sharded_render_matches_local(scene):
     np.testing.assert_array_equal(sharded, local)
 
 
+def test_sharded_cluster_render_matches_local(scene):
+    """The cluster engine under shard_map, with the pre-shard tile order:
+    must match the local cluster render (which applies the same ordering
+    internally) to within fusion-order float noise."""
+    from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.clusters import build_clusters
+
+    data, meta = scene
+    # 64x64 divides into 8x16 blocks -> reshape path; 8 shards get whole
+    # blocks (512 rays each)
+    cam = dataclasses.replace(meta.cameras[0], width=64, height=64)
+    accel = build_clusters(data, meta, build_bvh(data, meta))
+    mesh = make_mesh()
+    sharded = render_camera_sharded(data, meta, cam, mesh, bvh=accel,
+                                    engine="cluster")
+    local = np.asarray(render_camera(data, meta, cam, bvh=accel,
+                                     engine="cluster"))
+    # shard shapes change XLA's fusion of the shading glue around the
+    # kernels: 1-2 ULP drift on the 0-255 radiance scale is expected
+    np.testing.assert_allclose(sharded, local, atol=1e-3)
+
+
+def test_sharded_cluster_render_nondividing_frame(scene):
+    """Non-dividing frame -> permutation path + pad; same tolerance."""
+    from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.clusters import build_clusters
+
+    data, meta = scene
+    cam = dataclasses.replace(meta.cameras[0], width=30, height=30)
+    accel = build_clusters(data, meta, build_bvh(data, meta))
+    mesh = make_mesh()
+    sharded = render_camera_sharded(data, meta, cam, mesh, bvh=accel,
+                                    engine="cluster")
+    local = np.asarray(render_camera(data, meta, cam, bvh=accel,
+                                     engine="cluster"))
+    np.testing.assert_allclose(sharded, local, atol=1e-3)
+
+
 def test_sharded_render_nondivisible_ray_count(scene):
     data, meta = scene
     # 30*30 = 900 rays, not a multiple of 8 -> exercises padding
