@@ -203,7 +203,7 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
     "blocks", "hdr"))
 def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
                      bvh, engine, bfc, ssaa, ssaa_mode, blocks=None,
-                     hdr=False):
+                     hdr=False, seed=None):
     """One streamed row band: eye rays for rows [row0, row0+band_h) at the
     SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8
     (``hdr=True`` skips quantization and returns float32 linear radiance
@@ -218,9 +218,10 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     jitter = None
     if ssaa_mode == "jitter" and ssaa > 1:
         # deterministic per-band stochastic sample offsets in [-0.5, 0.5)
-        # (keyed on the band's first row, so a re-render is reproducible)
-        key = jax.random.fold_in(jax.random.PRNGKey(0),
-                                 row0.astype(jnp.int32))
+        # (keyed on seed + the band's first row, so a re-render with the
+        # same seed is reproducible and seeds give independent sample sets)
+        base_key = jax.random.PRNGKey(0 if seed is None else seed)
+        key = jax.random.fold_in(base_key, row0.astype(jnp.int32))
         jitter = jax.random.uniform(
             key, (band_h, w, 2), jnp.float32, minval=-0.5, maxval=0.5)
     origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h, jitter=jitter)
@@ -259,6 +260,7 @@ def render_camera_streamed(
     ssaa: int = 1,
     ssaa_mode: str = "parity",
     hdr: bool = False,
+    seed: int = 0,
 ):
     """Render one camera to a final-resolution (H, W, 3) uint8 image by
     streaming ROW BANDS of the SSAA-scaled frame through the device
@@ -304,6 +306,7 @@ def render_camera_streamed(
         bands.append(_render_band_jit(
             data, meta, cam_vec, hs, ws, jnp.float32(row0), bh, p, i,
             bvh, engine, bfc, ssaa, ssaa_mode, blocks=blocks, hdr=hdr,
+            seed=jnp.uint32(seed),
         ))
         row0 += bh
     return jnp.concatenate(bands, axis=0)

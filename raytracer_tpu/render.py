@@ -44,6 +44,9 @@ def main(argv=None) -> None:
     ap.add_argument("--adaptive-extra", type=int, default=None,
                     help="adaptive mode: extra samples for refined blocks "
                          "(default 3x the base ssaa^2)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="PRNG seed for the stochastic sampling modes "
+                         "(jitter/adaptive); same seed = same image")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
     ap.add_argument("--bfc", action="store_true",
@@ -151,6 +154,7 @@ def main(argv=None) -> None:
                                    if args.adaptive_extra is not None
                                    else 3 * base),
                         refine_frac=args.adaptive_frac, bfc=args.bfc,
+                        seed=args.seed,
                     )
                     img = color if hdr else quantize(color)
                 elif rcam.width * rcam.height > args.chunk or force_stream:
@@ -162,7 +166,7 @@ def main(argv=None) -> None:
                     img = render_camera_streamed(
                         data, meta, cam, bvh=accel, engine=args.engine,
                         chunk=args.chunk, bfc=args.bfc, ssaa=args.ssaa,
-                        ssaa_mode=args.ssaa_mode, hdr=hdr,
+                        ssaa_mode=args.ssaa_mode, hdr=hdr, seed=args.seed,
                     )
                 else:
                     color = render_camera(data, meta, rcam, bvh=accel,

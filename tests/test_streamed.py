@@ -75,3 +75,11 @@ def test_streamed_jitter_mode(scene):
     # anti-aliased estimates of the same image: close in the mean
     diff = np.abs(a.astype(np.int32) - mean_img.astype(np.int32))
     assert diff.mean() < 4.0, diff.mean()
+
+    # a different seed draws an independent sample set, same seed repeats
+    c = np.asarray(render_camera_streamed(data, meta, cam, seed=7, **kwargs))
+    assert not np.array_equal(a, c)
+    c2 = np.asarray(render_camera_streamed(data, meta, cam, seed=7, **kwargs))
+    np.testing.assert_array_equal(c, c2)
+    diff7 = np.abs(c.astype(np.int32) - mean_img.astype(np.int32))
+    assert diff7.mean() < 4.0, diff7.mean()
