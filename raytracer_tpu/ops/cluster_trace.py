@@ -2,12 +2,16 @@
 
 Pipeline per trace call (closest-hit or shadow any-hit):
 
-1. ``tile_cluster_mask`` (pure jnp, dense): a conservative interval-
-   arithmetic slab test of every RAY TILE's origin/direction bounding
-   intervals against every cluster AABB -> a per-tile cluster hit mask.
-   Sound by construction: interval bounds enclose every ray in the tile,
-   so a cluster a ray could hit is never masked out.  Inactive lanes are
-   excluded from the intervals (their results are masked downstream).
+1. ``ray_cluster_mask`` (pure jnp, dense): an EXACT per-ray slab test of
+   every ray against every cluster AABB, OR-reduced over the ray tile ->
+   a per-tile cluster hit mask.  Sound by construction: a primitive lies
+   inside its cluster box, so a ray can only hit it if its slab test
+   crosses the box.  Strictly tighter than the round-2 interval-
+   arithmetic tile mask (``tile_cluster_mask``, kept for experiments):
+   interval bounds lose the per-ray (origin, direction) correlation and
+   saturate on divergent secondary tiles (measured 2.7-7x more cluster
+   visits on horse_and_mug's bounce waves, experiments/exp_exact_mask).
+   Inactive lanes are excluded (their results are masked downstream).
 2. ``_compact``: the per-tile mask becomes a short SMEM-resident cluster
    id list (ascending ids, via top_k) plus a count, and a packed bitmask
    kept as a sound fallback for tiles whose candidate count overflows the
@@ -150,6 +154,58 @@ def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int,
         entry_lo = jnp.where(hit_s, entry_s, jnp.inf).min(1)
         hit = hit_s.any(1)
     return hit, entry_lo
+
+
+def ray_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
+    """(nt, C) exact tile shortlist: does ANY tile ray's slab test cross
+    this cluster box (within its t window)?
+
+    origin/dirs: (R, 3); active: (R,) bool or None; cmin/cmax: (C, 3);
+    t_hi: per-ray conservative upper bound on useful t ((R,) or None —
+    shadow segments pass 1.0).  Returns (hit (nt, C) bool, entry (nt, C)
+    f32 = min slab entry over the tile's hitting rays, +inf when none) —
+    the entry orders visits front-to-back in ``_compact``.
+
+    Each (ray, cluster) pair gets the reference's slab test
+    (raytracer.cpp:101-126).  Zero direction components use a FINITE
+    reciprocal sentinel (_BIG): both slab planes then land on the same
+    huge-t side exactly when the origin is outside the slab (miss) and
+    straddle it when inside (unconstrained) — the IEEE-inf behaviors
+    without any NaN (0 * _BIG = 0 puts an on-face origin at t = 0,
+    conservatively inside).  The origin term o*inv is per-RAY and hoisted
+    out of the cluster broadcast, so per-pair work is 2 FMAs + min + max
+    per axis + the reductions (~19 VPU ops — far more than the interval
+    mask pays per tile, but XLA fuses the (nt, tile, C) elementwise +
+    reduce without materializing it, and the visit savings dwarf the
+    mask cost: the kernels are pair-work bound; exp_exact_mask.py).
+    """
+    origin = jax.lax.stop_gradient(origin)
+    dirs = jax.lax.stop_gradient(dirs)
+    r = dirs.shape[0]
+    nt = r // tile
+    o = origin.reshape(nt, tile, 1, 3)
+    d = dirs.reshape(nt, tile, 1, 3)
+    # clamped to the finite sentinel so denormal-tiny components cannot
+    # produce an infinite reciprocal (inf*c - inf*o would be NaN)
+    inv = jnp.where(
+        d != 0.0,
+        jnp.clip(1.0 / jnp.where(d != 0.0, d, 1.0), -_BIG, _BIG),
+        _BIG,
+    )
+    oi = o * inv                            # per-ray, hoisted out of C
+    t1 = cmin[None, None] * inv - oi        # (nt, tile, C, 3): 1 FMA/pair
+    t2 = cmax[None, None] * inv - oi
+    near = jnp.minimum(t1, t2)
+    far = jnp.maximum(t1, t2)
+    entry = near.max(-1)                    # (nt, tile, C)
+    exit_ = far.min(-1)
+    hit = (entry <= exit_) & (exit_ >= 0.0)
+    if t_hi is not None:
+        hit &= entry <= t_hi.reshape(nt, tile, 1)
+    if active is not None:
+        hit &= active.reshape(nt, tile, 1)
+    e = jnp.where(hit, entry, jnp.inf).min(1)
+    return hit.any(1), e
 
 
 def _compact(hit, entry, max_list: int):
@@ -648,14 +704,14 @@ def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
     lp = jax.lax.stop_gradient(jnp.asarray(light_pos, jnp.float32).reshape(3))
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
     ones = jnp.ones((origin.shape[0],), jnp.float32)
-    thit = tile_cluster_mask(
+    thit = ray_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, ones, TILE
     )
     small_sph = 0 < cset.n_sph <= SMALL_SPH
     if small_sph:
         shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
     else:
-        shit = tile_cluster_mask(
+        shit = ray_cluster_mask(
             origin, dirs, active, cset.sph_cmin, cset.sph_cmax, ones, TILE
         )
     occ = _cluster_shadow_call(
@@ -934,14 +990,14 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
-    thit = tile_cluster_mask(
+    thit = ray_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
     )
     small_sph = 0 < cset.n_sph <= SMALL_SPH
     if small_sph:
         shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
     else:
-        shit = tile_cluster_mask(
+        shit = ray_cluster_mask(
             origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
         )
     t, slot = _cluster_closest_call(
@@ -979,14 +1035,19 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
-    thit = tile_cluster_mask(
+    # shared-origin eye tiles are coherent frusta where the interval mask
+    # is already near-tight; the exact per-ray mask pays ~25 ops/pair for
+    # no visit savings there (divergent secondary waves are where it wins
+    # 2.7-7x — exp_exact_mask.py)
+    mask_fn = tile_cluster_mask if shared else ray_cluster_mask
+    thit = mask_fn(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
     )
     small_sph = 0 < cset.n_sph <= SMALL_SPH
     if small_sph:
         shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
     else:
-        shit = tile_cluster_mask(
+        shit = mask_fn(
             origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
         )
     if shared:
@@ -1037,14 +1098,14 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     dirs = jax.lax.stop_gradient(dirs)
     t_max = jax.lax.stop_gradient(t_max)
     r, origin, dirs, active, t_max = _pad_rays(origin, dirs, active, t_max)
-    thit = tile_cluster_mask(
+    thit = ray_cluster_mask(
         origin, dirs, active, cset.tri_cmin, cset.tri_cmax, t_max, TILE
     )
     small_sph = 0 < cset.n_sph <= SMALL_SPH
     if small_sph:
         shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
     else:
-        shit = tile_cluster_mask(
+        shit = ray_cluster_mask(
             origin, dirs, active, cset.sph_cmin, cset.sph_cmax, t_max, TILE
         )
     occ = _cluster_any_call(
