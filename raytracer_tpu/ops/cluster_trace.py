@@ -156,6 +156,103 @@ def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int,
     return hit, entry_lo
 
 
+def _ray_mask_kernel(act_ref, box_ref, b_ref, hit_out, ent_out):
+    """Pallas form of the exact per-ray mask: rays on sublanes (TILE per
+    subtile) x cluster boxes on lanes (Cpad), the same pair layout as the
+    visit kernels.  The ray bundle arrives PRE-DERIVED as
+    [o*inv (3), thi, inv (3), pad] so the per-pair slab test is one FMA +
+    min/max per axis; ``thi`` folds the t window AND the active mask
+    (-inf on inactive lanes).  ``act_ref`` (scalar prefetch) lets fully-
+    inactive tiles skip the pair work entirely (bounce-2 waves are ~10%
+    active).  NOTE: the compute MUST stay under a pl.when even for the
+    always-active case — the unguarded lowering is ~25x slower (Mosaic
+    relayout pathology, experiments/exp_mask_kernel.py)."""
+    base = pl.program_id(0) * TPB
+
+    def subtile(p, _):
+        i = base + p
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            lo = pl.multiple_of(p * TILE, TILE)
+            b = b_ref[:, pl.ds(lo, TILE)].T          # (TILE, 8)
+            oix, oiy, oiz, thi = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]
+            ix, iy, iz = b[:, 4:5], b[:, 5:6], b[:, 6:7]
+            row = lambda j: box_ref[j, :][None, :]   # (1, Cpad)
+            t1 = ix * row(0) - oix
+            t2 = ix * row(4) - oix
+            nx = jnp.minimum(t1, t2); fx = jnp.maximum(t1, t2)
+            t1 = iy * row(1) - oiy
+            t2 = iy * row(5) - oiy
+            ny = jnp.minimum(t1, t2); fy = jnp.maximum(t1, t2)
+            t1 = iz * row(2) - oiz
+            t2 = iz * row(6) - oiz
+            nz = jnp.minimum(t1, t2); fz = jnp.maximum(t1, t2)
+            entry = jnp.maximum(nx, jnp.maximum(ny, nz))
+            exit_ = jnp.minimum(fx, jnp.minimum(fy, fz))
+            hit = (entry <= exit_) & (exit_ >= 0.0) & (entry <= thi)
+            hit_out[p, :] = jnp.any(hit, axis=0).astype(jnp.int32)
+            ent_out[p, :] = jnp.min(jnp.where(hit, entry, jnp.inf), axis=0)
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            hit_out[p, :] = jnp.zeros((hit_out.shape[1],), jnp.int32)
+            ent_out[p, :] = jnp.full((ent_out.shape[1],), jnp.inf,
+                                     jnp.float32)
+
+        return 0
+
+    jax.lax.fori_loop(0, TPB, subtile, 0)
+
+
+def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int):
+    """Pallas dispatch of the exact mask (TPU path of ray_cluster_mask).
+    Bitwise-identical masks to the pure-jnp form (same clamped-reciprocal
+    FMA math; equality pinned per wave in exp_mask_kernel.py)."""
+    r = dirs.shape[0]
+    nt = r // tile
+    inv = jnp.where(
+        dirs != 0.0,
+        jnp.clip(1.0 / jnp.where(dirs != 0.0, dirs, 1.0), -_BIG, _BIG),
+        _BIG,
+    )
+    oi = origin * inv
+    thi = jnp.full((r,), jnp.inf) if t_hi is None else t_hi
+    if active is not None:
+        thi = jnp.where(active, thi, -jnp.inf)
+        act = active.reshape(nt, tile).any(1).astype(jnp.int32)
+    else:
+        act = jnp.ones((nt,), jnp.int32)
+    c = cmin.shape[0]
+    cpad = -(-c // 128) * 128
+    box = jnp.full((8, cpad), _BIG, jnp.float32)
+    box = box.at[0:3, :c].set(cmin.T)
+    box = box.at[4:7, :c].set(cmax.T)
+    bundle = jnp.concatenate([
+        oi.T, thi[None], inv.T, jnp.zeros((1, r), jnp.float32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt // TPB,),
+        in_specs=[
+            pl.BlockSpec((8, cpad), lambda i, *_: (0, 0)),
+            pl.BlockSpec((8, TPB * tile), lambda i, *_: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TPB, cpad), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TPB, cpad), lambda i, *_: (i, 0)),
+        ],
+    )
+    hit, ent = pl.pallas_call(
+        _ray_mask_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, cpad), jnp.int32),
+            jax.ShapeDtypeStruct((nt, cpad), jnp.float32),
+        ],
+    )(act, box, bundle)
+    return hit[:, :c] != 0, ent[:, :c]
+
+
 def ray_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
     """(nt, C) exact tile shortlist: does ANY tile ray's slab test cross
     this cluster box (within its t window)?
@@ -178,9 +275,16 @@ def ray_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
     mask pays per tile, but XLA fuses the (nt, tile, C) elementwise +
     reduce without materializing it, and the visit savings dwarf the
     mask cost: the kernels are pair-work bound; exp_exact_mask.py).
+
+    On TPU the mask runs as a Pallas kernel (_ray_mask_kernel: ~1.4x the
+    fused-XLA cost, plus fully-inactive tiles skip outright); elsewhere
+    (CPU tests) the pure-jnp form below computes the identical result.
     """
     origin = jax.lax.stop_gradient(origin)
     dirs = jax.lax.stop_gradient(dirs)
+    if not _interpret():
+        return _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax,
+                                     t_hi, tile)
     r = dirs.shape[0]
     nt = r // tile
     o = origin.reshape(nt, tile, 1, 3)
