@@ -233,6 +233,18 @@ def build_clusters(
                 sph_cmin[ci] = (centers[s:e] - radii[s:e, None]).min(axis=0)
                 sph_cmax[ci] = (centers[s:e] + radii[s:e, None]).max(axis=0)
 
+    # clusters that ended up with NO primitives (n_tri == 0 / n_sph == 0
+    # scenes keep one forced padding cluster) get NaN boxes: every slab
+    # comparison is then False in both mask forms, so they are never
+    # listed or visited (inf/-inf boxes would HIT every ray in the exact
+    # mask's min/max-reordered slab test)
+    empty_t = ~(tri_cmax >= tri_cmin).all(axis=1)
+    tri_cmin[empty_t] = np.nan
+    tri_cmax[empty_t] = np.nan
+    empty_s = ~(sph_cmax >= sph_cmin).all(axis=1)
+    sph_cmin[empty_s] = np.nan
+    sph_cmax[empty_s] = np.nan
+
     # per-slot shading table
     slot_pack = np.zeros((Pt + Ps, 8), np.float32)
     tri_verts = np.zeros((9, Pt), np.float32)

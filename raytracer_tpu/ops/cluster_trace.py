@@ -846,23 +846,41 @@ def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
     lp = jax.lax.stop_gradient(jnp.asarray(light_pos, jnp.float32).reshape(3))
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
     ones = jnp.ones((origin.shape[0],), jnp.float32)
-    thit = ray_cluster_mask(
-        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, ones, TILE
-    )
-    small_sph = 0 < cset.n_sph <= SMALL_SPH
-    if small_sph:
-        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
-    else:
-        shit = ray_cluster_mask(
-            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, ones, TILE
-        )
+    thit, shit = _cluster_masks(cset, origin, dirs, active, ones)
     occ = _cluster_shadow_call(
         thit, shit, origin, planes, lp, cset.sph_dat, cset.n_sph, early_exit
     )
-    if small_sph:
+    if 0 < cset.n_sph <= SMALL_SPH:
         t_s, ok = _small_sphere_test(cset, origin, dirs)
         occ = occ | jnp.any(ok & (t_s < 1.0), axis=1)
     return occ[:r]
+
+
+def _cluster_masks(cset: ClusterSet, origin, dirs, active, t_hi,
+                   mask_fn=None):
+    """ONE mask pass over the concatenated triangle+sphere cluster boxes,
+    split back into (thit, shit).
+
+    Small-sphere scenes (n_sph <= SMALL_SPH) get an EMPTY sphere
+    shortlist: callers run the dense (R, n_sph) quadratic + merge
+    instead — measured FASTER than in-kernel sphere visits, because a
+    small sphere cluster's box is crossed by many tiles, each paying a
+    (TILE, 128) visit that is ~99% padding AND defeating the
+    empty-shortlist subtile skip (tri-empty background tiles become
+    non-empty; frame 92.8 -> 96.5 ms when tried in round 3).  Scenes
+    with real sphere populations (marbles: 650) get ONE mask pass over
+    the concatenated tri+sphere boxes instead of two."""
+    if mask_fn is None:
+        mask_fn = ray_cluster_mask
+    ct_n = cset.tri_cmin.shape[0]
+    if cset.n_sph <= SMALL_SPH:
+        thit = mask_fn(origin, dirs, active, cset.tri_cmin, cset.tri_cmax,
+                       t_hi, TILE)
+        return thit, _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
+    cmin = jnp.concatenate([cset.tri_cmin, cset.sph_cmin])
+    cmax = jnp.concatenate([cset.tri_cmax, cset.sph_cmax])
+    hit, ent = mask_fn(origin, dirs, active, cmin, cmax, t_hi, TILE)
+    return (hit[:, :ct_n], ent[:, :ct_n]), (hit[:, ct_n:], ent[:, ct_n:])
 
 
 def _common_dims(dirs, tri_dat, sph_dat):
@@ -1075,11 +1093,13 @@ def _pad_rays(origin, dirs, *extras):
 
 # When a scene has only a handful of spheres (horse_and_mug: 2,
 # cornellbox: 2 — only marbles has many), a full (TILE x 128) sphere
-# cluster visit per tile is ~99% padding.  Below this count the sphere
-# test runs as dense jnp over ALL rays instead (R x n_sph pairs, ~0.2 ms
-# for 2M rays), the kernel sees an empty sphere shortlist, and results
-# merge under the kernel's exact rules (spheres after triangles,
-# strict-< updates, first slot wins ties).  Bitwise-identical math.
+# cluster visit per tile is ~99% padding AND defeats the empty-shortlist
+# subtile skip, so the sphere test runs as dense jnp over ALL rays
+# instead (R x n_sph pairs; in-kernel visits re-measured SLOWER in
+# round 3 even with exact masks: frame 92.8 -> 96.5 ms).  The kernel
+# sees an empty sphere shortlist and results merge under the kernel's
+# exact rules (spheres after triangles, strict-< updates, first slot
+# wins ties).  Bitwise-identical math.
 SMALL_SPH = 8
 
 
@@ -1132,21 +1152,12 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
-    thit = ray_cluster_mask(
-        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
-    )
-    small_sph = 0 < cset.n_sph <= SMALL_SPH
-    if small_sph:
-        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
-    else:
-        shit = ray_cluster_mask(
-            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
-        )
+    thit, shit = _cluster_masks(cset, origin, dirs, active, None)
     t, slot = _cluster_closest_call(
         thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
         cset.n_tri, cset.n_sph, bfc,
     )
-    if small_sph:
+    if 0 < cset.n_sph <= SMALL_SPH:
         _, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
     return _slot_to_prim(cset, slot)[:r]
 
@@ -1182,16 +1193,8 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     # no visit savings there (divergent secondary waves are where it wins
     # 2.7-7x — exp_exact_mask.py)
     mask_fn = tile_cluster_mask if shared else ray_cluster_mask
-    thit = mask_fn(
-        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, None, TILE
-    )
-    small_sph = 0 < cset.n_sph <= SMALL_SPH
-    if small_sph:
-        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
-    else:
-        shit = mask_fn(
-            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, None, TILE
-        )
+    thit, shit = _cluster_masks(cset, origin, dirs, active, None,
+                                mask_fn=mask_fn)
     if shared:
         t, slot = _cluster_closest_call_shared(
             thit, shit, org1, dirs, cset.tri_dat, cset.sph_dat,
@@ -1202,7 +1205,7 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
             thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
             cset.n_tri, cset.n_sph, bfc,
         )
-    if small_sph:
+    if 0 < cset.n_sph <= SMALL_SPH:
         t, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
     t, slot = t[:r], slot[:r]
     origin, dirs = origin[:r], dirs[:r]
@@ -1240,21 +1243,12 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     dirs = jax.lax.stop_gradient(dirs)
     t_max = jax.lax.stop_gradient(t_max)
     r, origin, dirs, active, t_max = _pad_rays(origin, dirs, active, t_max)
-    thit = ray_cluster_mask(
-        origin, dirs, active, cset.tri_cmin, cset.tri_cmax, t_max, TILE
-    )
-    small_sph = 0 < cset.n_sph <= SMALL_SPH
-    if small_sph:
-        shit = _empty_shit(thit[0].shape[0], cset.sph_cmin.shape[0])
-    else:
-        shit = ray_cluster_mask(
-            origin, dirs, active, cset.sph_cmin, cset.sph_cmax, t_max, TILE
-        )
+    thit, shit = _cluster_masks(cset, origin, dirs, active, t_max)
     occ = _cluster_any_call(
         thit, shit, origin, dirs, t_max[:, None],
         cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
     )
-    if small_sph:
+    if 0 < cset.n_sph <= SMALL_SPH:
         t_s, ok = _small_sphere_test(cset, origin, dirs)
         occ = occ | jnp.any(ok & (t_s < t_max[:, None]), axis=1)
     return occ[:r]
