@@ -19,7 +19,9 @@ import numpy as np
 from raytracer_tpu.models.bvh import build_bvh
 from raytracer_tpu.models.scene import load_scene
 from raytracer_tpu.models.whitted import render_camera
-from raytracer_tpu.ops.image import downsample_mean, downsample_parity, quantize
+from raytracer_tpu.ops.image import (
+    downsample_mean, downsample_parity, quantize, tone_map,
+)
 from raytracer_tpu.utils.ppm import write_ppm
 
 
@@ -68,6 +70,11 @@ def main(argv=None) -> None:
                          "quantization, half-float scanline OpenEXR; SSAA "
                          "reduces as a float mean — parity's uint8 "
                          "truncating filter is meaningless pre-quantization)")
+    ap.add_argument("--tone", choices=["none", "gamma", "reinhard", "aces"],
+                    default="none",
+                    help="tone-map linear radiance before 8-bit output "
+                         "(ppm/png; exr stays linear) — quality extension, "
+                         "non-parity (ops.image.tone_map)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="render repetitions for benchmarking")
     ap.add_argument("--json-metrics", action="store_true",
@@ -139,6 +146,9 @@ def main(argv=None) -> None:
                 # only the band renderer supports — route it there always
                 force_stream = args.ssaa_mode == "jitter" and args.ssaa > 1
                 hdr = args.format == "exr"
+                # tone mapping needs the float radiance too; quantization
+                # then happens through the tone curve after SSAA reduction
+                want_float = hdr or args.tone != "none"
                 adaptive_stats = None
                 if args.ssaa_mode == "adaptive":
                     from raytracer_tpu.ops.adaptive import render_camera_adaptive
@@ -156,7 +166,9 @@ def main(argv=None) -> None:
                         refine_frac=args.adaptive_frac, bfc=args.bfc,
                         seed=args.seed,
                     )
-                    img = color if hdr else quantize(color)
+                    img = (color if hdr
+                           else tone_map(color, args.tone) if want_float
+                           else quantize(color))
                 elif rcam.width * rcam.height > args.chunk or force_stream:
                     # row-band streaming: ray state stays ~chunk-sized and
                     # the SSAA reduction runs on device per band (needed
@@ -166,15 +178,20 @@ def main(argv=None) -> None:
                     img = render_camera_streamed(
                         data, meta, cam, bvh=accel, engine=args.engine,
                         chunk=args.chunk, bfc=args.bfc, ssaa=args.ssaa,
-                        ssaa_mode=args.ssaa_mode, hdr=hdr, seed=args.seed,
+                        ssaa_mode=args.ssaa_mode, hdr=want_float,
+                        seed=args.seed,
                     )
+                    if want_float and not hdr:
+                        img = tone_map(img, args.tone)
                 else:
                     color = render_camera(data, meta, rcam, bvh=accel,
                                           engine=args.engine,
                                           chunk=args.chunk, bfc=args.bfc)
-                    if hdr:
+                    if want_float:
                         img = (downsample_mean(color, args.ssaa)
                                if args.ssaa > 1 else color)
+                        if not hdr:
+                            img = tone_map(img, args.tone)
                     elif args.ssaa > 1:
                         if args.ssaa_mode == "parity":
                             img = downsample_parity(quantize(color), args.ssaa)
