@@ -81,12 +81,19 @@ def _tile_pixel_coords(h: int, w: int, bh: int, bw: int):
 
 @partial(jax.jit, static_argnames=(
     "meta", "h", "w", "engine", "bfc", "base_spp", "extra_spp", "k",
-    "tile", "reshape_blocks"))
+    "tile", "reshape_blocks", "rounds"))
 def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
                   bvh, engine, bfc, base_spp, extra_spp, k, tile,
-                  reshape_blocks):
+                  reshape_blocks, rounds=1):
     """The whole adaptive render as one traced graph: base wave ->
-    variance -> top-k blocks -> refinement wave -> merged mean."""
+    [variance -> top-k blocks -> refinement wave] x rounds -> merged
+    mean.  Multi-round refinement re-scores from the ACCUMULATED sample
+    statistics each round, so blocks that merely looked noisy at
+    base_spp samples drop out once their estimate tightens and the
+    budget re-concentrates on true high-variance blocks.  rounds=1
+    reproduces the single-pass behavior bitwise (same PRNG stream,
+    identical variance math via the running (sum, sum-of-squares)
+    form)."""
     from raytracer_tpu.models.whitted import render_rays
     from raytracer_tpu.ops.camera import eye_rays_pixels
 
@@ -123,9 +130,7 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
 
     kb, kr = jax.random.split(key)
     base = wave(rows_b, cols_b, base_spp, kb)        # (nblk, spp, tile, 3)
-    sum1 = jnp.sum(base, axis=1)                     # (nblk, tile, 3)
     lum = base @ jnp.asarray(_LUM)                   # (nblk, spp, tile)
-    var = jnp.mean(lum * lum, axis=1) - jnp.square(jnp.mean(lum, axis=1))
 
     # Selection granularity: whole 128-pixel blocks.  Finer (32-pixel
     # sub-block) targeting was implemented and MEASURED A WASH on TPU
@@ -136,17 +141,32 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
     # smoothed-score variant revisit this.
     p_sel = tile
     nsel = (nblk * tile) // p_sel
-    score = jnp.mean(jnp.maximum(var, 0.0).reshape(nsel, p_sel), axis=1)
 
-    sum1 = sum1.reshape(nsel, p_sel, 3)
+    # running per-pixel sample statistics (tile order): color sum, luma
+    # sum and sum of squares, per-refine-unit counts
+    sum1 = jnp.sum(base, axis=1).reshape(nsel, p_sel, 3)
+    lsum = jnp.sum(lum, axis=1).reshape(nsel, p_sel)
+    lsq = jnp.sum(lum * lum, axis=1).reshape(nsel, p_sel)
     counts = jnp.full((nsel, 1, 1), float(base_spp), jnp.float32)
-    if k > 0 and extra_spp > 0:
+    score = jnp.zeros((nsel,), jnp.float32)
+    rows_u = rows_t.reshape(nsel, p_sel)
+    cols_u = cols_t.reshape(nsel, p_sel)
+    for rnd in range(rounds if (k > 0 and extra_spp > 0) else 0):
+        c = counts[:, :, 0]                          # (nsel, 1)
+        var = lsq / c - jnp.square(lsum / c)         # (nsel, p_sel)
+        score = jnp.mean(jnp.maximum(var, 0.0), axis=1)
         _, sel_ids = jax.lax.top_k(score, k)
-        rows_s = rows_t.reshape(nsel, p_sel)[sel_ids]
-        cols_s = cols_t.reshape(nsel, p_sel)[sel_ids]
-        extra = wave(rows_s, cols_s, extra_spp, kr)  # (k, spp, p_sel, 3)
+        sub = kr if rnd == 0 else jax.random.fold_in(kr, rnd)
+        extra = wave(rows_u[sel_ids], cols_u[sel_ids], extra_spp, sub)
+        lum_e = extra @ jnp.asarray(_LUM)            # (k, spp, p_sel)
         sum1 = sum1.at[sel_ids].add(jnp.sum(extra, axis=1))
+        lsum = lsum.at[sel_ids].add(jnp.sum(lum_e, axis=1))
+        lsq = lsq.at[sel_ids].add(jnp.sum(lum_e * lum_e, axis=1))
         counts = counts.at[sel_ids].add(float(extra_spp))
+    if k <= 0 or extra_spp <= 0:
+        c = counts[:, :, 0]
+        var = lsq / c - jnp.square(lsum / c)
+        score = jnp.mean(jnp.maximum(var, 0.0), axis=1)
     mean = (sum1 / counts).reshape(-1, 3)            # tile order, padded
 
     if reshape_blocks is not None:
@@ -169,12 +189,15 @@ def render_camera_adaptive(
     refine_frac: float = 0.125,
     seed: int = 0,
     bfc: bool = False,
+    rounds: int = 1,
 ):
     """Render one camera adaptively to (H, W, 3) float32 radiance.
 
     Every pixel gets ``base_spp`` jittered samples (sample 0 at the pixel
-    center); the top ``refine_frac`` of pixel blocks by luma sample
-    variance get ``extra_spp`` more.  Returns ``(image, stats)`` where
+    center); then ``rounds`` refinement passes each give the CURRENTLY
+    noisiest ``refine_frac`` of pixel blocks ``extra_spp // rounds`` more
+    samples (re-scored from the accumulated statistics between passes,
+    so converged blocks drop out).  Returns ``(image, stats)`` where
     stats records the realized budget: at the defaults the frame costs
     base 4 + 0.125*12 = 5.5 samples/pixel yet resolves edge blocks at 16.
 
@@ -206,24 +229,29 @@ def render_camera_adaptive(
     p_sel = tile
     nsel = len(rows) // p_sel
     k = min(nsel, max(1, round(refine_frac * nsel))) if extra_spp > 0 else 0
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    per_round = max(1, extra_spp // rounds) if extra_spp > 0 else 0
     reshape_blocks = (bh, bw) if divides(cam.height, cam.width, bh, bw) \
         else None
     img, score = _adaptive_jit(
         data, meta, jnp.asarray(camera_vectors(cam)), cam.height, cam.width,
         jnp.asarray(rows, jnp.float32), jnp.asarray(cols, jnp.float32),
         None if inv is None else jnp.asarray(inv),
-        jax.random.PRNGKey(seed), bvh, engine, bfc, base_spp, extra_spp,
-        k, tile, reshape_blocks,
+        jax.random.PRNGKey(seed), bvh, engine, bfc, base_spp, per_round,
+        k, tile, reshape_blocks, rounds=rounds,
     )
     r = cam.height * cam.width
+    extra_total = k * p_sel * per_round * rounds
     stats = {
         "blocks": nblk,
         "refine_units": nsel,
         "refine_unit_px": p_sel,
         "refined_blocks": k,
+        "rounds": rounds,
         "base_spp": base_spp,
-        "extra_spp": extra_spp,
-        "total_samples": len(rows) * base_spp + k * p_sel * extra_spp,
-        "mean_spp": (len(rows) * base_spp + k * p_sel * extra_spp) / r,
+        "extra_spp_per_round": per_round,
+        "total_samples": len(rows) * base_spp + extra_total,
+        "mean_spp": (len(rows) * base_spp + extra_total) / r,
     }
     return img, stats

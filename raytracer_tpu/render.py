@@ -45,7 +45,13 @@ def main(argv=None) -> None:
                     help="adaptive mode: fraction of pixel blocks refined")
     ap.add_argument("--adaptive-extra", type=int, default=None,
                     help="adaptive mode: extra samples for refined blocks "
-                         "(default 3x the base ssaa^2)")
+                         "(default 3x the base ssaa^2; split across "
+                         "--adaptive-rounds)")
+    ap.add_argument("--adaptive-rounds", type=int, default=1,
+                    help="adaptive mode: refinement passes; each pass "
+                         "re-scores block variance from the accumulated "
+                         "samples and gives the currently-noisiest blocks "
+                         "extra/rounds more samples")
     ap.add_argument("--seed", type=int, default=0,
                     help="PRNG seed for the stochastic sampling modes "
                          "(jitter/adaptive); same seed = same image")
@@ -164,7 +170,7 @@ def main(argv=None) -> None:
                                    if args.adaptive_extra is not None
                                    else 3 * base),
                         refine_frac=args.adaptive_frac, bfc=args.bfc,
-                        seed=args.seed,
+                        seed=args.seed, rounds=args.adaptive_rounds,
                     )
                     img = (color if hdr
                            else tone_map(color, args.tone) if want_float

@@ -164,3 +164,36 @@ def test_cli_adaptive(tmp_path, capsys):
     assert '"adaptive"' in out and '"refined_blocks"' in out
     img = read_ppm(str(tmp_path / "entry_scene.ppm"))
     assert img.shape == (64, 64, 3)
+
+
+def test_multi_round_budget_and_determinism(scene):
+    data, meta = scene
+    cam = meta.cameras[0]
+    a, stats = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
+        refine_frac=0.25, rounds=3, seed=5)
+    assert stats["rounds"] == 3
+    assert stats["extra_spp_per_round"] == 4
+    assert stats["total_samples"] == (
+        stats["refine_units"] * 128 * 4
+        + stats["refined_blocks"] * 128 * 4 * 3)
+    b, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
+        refine_frac=0.25, rounds=3, seed=5)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_round_improves_over_base(scene):
+    data, meta = scene
+    cam = meta.cameras[0]
+    truth, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=48, extra_spp=0, seed=7)
+    base_only, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=0, seed=0)
+    multi, _ = render_camera_adaptive(
+        data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
+        refine_frac=0.5, rounds=2, seed=0)
+    t = np.asarray(truth)
+    mse_base = float(np.mean((np.asarray(base_only) - t) ** 2))
+    mse_multi = float(np.mean((np.asarray(multi) - t) ** 2))
+    assert mse_multi < mse_base
