@@ -12,10 +12,12 @@ So the accelerator here is flat and two-level:
     BVH build's preorder leaf sequence (models.bvh), which is exactly a
     space-filling order of the primitive soup; consecutive runs of 128
     primitives therefore have tight bounding boxes.
-  - a ray TILE (render tiles are square pixel blocks, so rays are
-    coherent) is tested against every cluster AABB with a conservative
-    INTERVAL-ARITHMETIC slab test (ops.cluster_trace.tile_cluster_mask) —
-    a dense (tiles x clusters) computation.
+  - every RAY is slab-tested exactly against every cluster AABB,
+    OR-reduced over its TILE (ops.cluster_trace.ray_cluster_mask, a
+    dense rays x clusters computation run as a Pallas kernel on TPU);
+    shared-origin eye tiles use the cheaper interval-arithmetic tile
+    test (ops.cluster_trace.tile_cluster_mask), which is near-tight
+    for coherent frusta.
   - surviving (tile, cluster) pairs are intersected densely by a Pallas
     kernel: rays on sublanes x 128 cluster primitives on lanes, both
     operands resident in VMEM.
