@@ -72,9 +72,11 @@ def render_rays(
     # bounce loop) from traced light positions; oversized scenes fall
     # back to the generic kernel (tables must be VMEM-resident).
     shadow_fn = None
+    shadow_multi_fn = None
     if engine == "cluster" and meta.n_lights > 0:
         from raytracer_tpu.ops.cluster_trace import (
             SHADOW_PLANES_BYTES_MAX, build_shadow_planes, cluster_shadow,
+            cluster_shadow_multi,
         )
 
         if bvh.tri_verts.shape[1] * 64 <= SHADOW_PLANES_BYTES_MAX:
@@ -87,6 +89,15 @@ def render_rays(
             def shadow_fn(org, sdir, mask, l):
                 return cluster_shadow(bvh, planes[l], org, sdir, lp_all[l],
                                       active=mask)
+
+            # multi-light scenes: all lights' occlusions in ONE kernel
+            # launch per bounce (shared grid walk + ray relayout; every
+            # plane table must fit VMEM together)
+            if (meta.n_lights >= 2 and meta.n_lights
+                    * bvh.tri_verts.shape[1] * 64 <= SHADOW_PLANES_BYTES_MAX):
+                def shadow_multi_fn(org, masks):
+                    return cluster_shadow_multi(
+                        bvh, planes, org, lp_all[: meta.n_lights], masks)
 
     def bounce(carry, shared_eye: bool = False):
         depth, color, throughput, active, cur_org, cur_dir = carry
@@ -125,7 +136,8 @@ def render_rays(
         )
 
         local = shade_local(data, meta, cur_dir, h, occluded,
-                            shadow_fn=shadow_fn)
+                            shadow_fn=shadow_fn,
+                            shadow_multi_fn=shadow_multi_fn)
         color = color + throughput * jnp.where(h.hit[:, None], local, 0.0)
 
         refl_org, refl_dir, tint, is_mirror = reflection_rays(data, cur_dir, h)

@@ -828,6 +828,217 @@ def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
     return found.reshape(r) != 0
 
 
+def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
+                      ws: int, n_lights: int, early_exit: bool = True):
+    """Multi-light variant of _shadow_kernel: ONE grid pass visits every
+    light's shortlist per subtile, sharing the ray-origin relayout and
+    the per-program fixed cost (~2 ms/call at zero visits).  Per-light
+    occlusion bits land in one int32 bitfield output (bit l = light l
+    occluded).  Visit math, order, and early-exit semantics per light
+    are identical to the single-light kernel, so results are bitwise
+    the same."""
+    nl = n_lights
+    sl_refs = args[: 6 * nl]        # per light: tw, tl, tc, sw, sl, sc
+    lp_ref = args[6 * nl]           # (3 * nl,) light positions
+    b_ref = args[6 * nl + 1]
+    plns = args[6 * nl + 2 : 6 * nl + 2 + nl]
+    sph_ref = args[6 * nl + 2 + nl]
+    found_out = args[6 * nl + 3 + nl]
+    fnd, acc = args[6 * nl + 4 + nl :]
+    base = pl.program_id(0) * TPB
+
+    def subtile(p, _):
+        i = base + p
+        empty = (sl_refs[2][i] == 0) & (sl_refs[5][i] == 0)
+        for l in range(1, nl):
+            empty &= (sl_refs[6 * l + 2][i] == 0) & (sl_refs[6 * l + 5][i] == 0)
+
+        @pl.when(empty)
+        def _():
+            found_out[p, :] = jnp.zeros((TILE,), jnp.int32)
+
+        @pl.when(~empty)
+        def _():
+            _shadow_subtile_ml(p, i)
+
+        return 0
+
+    def _shadow_subtile_ml(p, i):
+        lo = pl.multiple_of(p * TILE, TILE)
+        bnd = b_ref[:, pl.ds(lo, TILE)].T   # (TILE, 4) ONE shared relayout
+        ox, oy, oz = bnd[:, 0:1], bnd[:, 1:2], bnd[:, 2:3]
+        fnd[:] = jnp.zeros((TILE, 1), jnp.int32)
+        for l in range(nl):
+            tw, tl_, tc, sw, sl_, sc = sl_refs[6 * l : 6 * l + 6]
+            pln_ref = plns[l]
+            bit = jnp.int32(1 << l)
+            acc[:] = jnp.full((TILE, CLUSTER), -jnp.inf, jnp.float32)
+
+            def tri_body(k):
+                # cluster-aligned dynamic lane offset (see _shadow_kernel)
+                sk = pl.multiple_of(k * CLUSTER, CLUSTER)
+                row = lambda j: pln_ref[j, pl.ds(sk, CLUSTER)][None, :]
+                u0 = ox * row(0) + (oy * row(1) + (oz * row(2) + row(3)))
+                v1 = ox * row(4) + (oy * row(5) + (oz * row(6) + row(7)))
+                v2 = ox * row(8) + (oy * row(9) + (oz * row(10) + row(11)))
+                v3 = ox * row(12) + (oy * row(13) + (oz * row(14) + row(15)))
+                m = jnp.minimum(jnp.minimum(u0, v1), jnp.minimum(v2, v3))
+                acc[:] = jnp.maximum(acc[:], m)
+
+            _visit_clusters(i, tw, tl_, tc, ct, MAX_TRI_LIST, wt, tri_body)
+            occ_l = jnp.any(acc[:] >= 0.0, axis=1, keepdims=True)
+            fnd[:] = fnd[:] | (occ_l.astype(jnp.int32) * bit)
+
+            def sph_body(k):
+                sk = pl.multiple_of(k * CLUSTER, CLUSTER)
+                dx = lp_ref[3 * l + 0] - ox
+                dy = lp_ref[3 * l + 1] - oy
+                dz = lp_ref[3 * l + 2] - oz
+                t, ok = _sph_cluster_test(sph_ref, sk, ox, oy, oz,
+                                          dx, dy, dz, n_sph)
+                hit = ok & (t < 1.0)
+                fnd[:] = fnd[:] | (jnp.any(hit, axis=1,
+                                           keepdims=True).astype(jnp.int32)
+                                   * bit)
+
+            def not_all_found():
+                return jnp.sum((fnd[:] & bit) != 0) < TILE
+
+            kg = not_all_found if early_exit else None
+            _visit_clusters(i, sw, sl_, sc, cs, MAX_SPH_LIST, ws, sph_body,
+                            keep_going=kg)
+        found_out[p, :] = fnd[:, 0]
+
+    jax.lax.fori_loop(0, TPB, subtile, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_sph", "n_lights", "early_exit"))
+def _cluster_shadow_call_ml(thits, shits, origin, planes, lps, sph_dat,
+                            n_sph: int, n_lights: int,
+                            early_exit: bool = True):
+    """ONE kernel launch for all n_lights shadow tests of a wavefront.
+    thits/shits: per-light tuples of (hit, entry); planes: list of
+    per-light (16, Pt) tables; lps: (3*n_lights,) positions.
+    Returns (R,) int32 bitfield (bit l = occluded toward light l)."""
+    nl = n_lights
+    r = origin.shape[0]
+    nt = r // TILE
+    if nt > MAX_NT:
+        outs = []
+        for s in range(0, nt, MAX_NT):
+            e = min(s + MAX_NT, nt)
+            outs.append(_cluster_shadow_call_ml(
+                tuple((th[0][s:e], th[1][s:e]) for th in thits),
+                tuple((sh[0][s:e], sh[1][s:e]) for sh in shits),
+                origin[s * TILE : e * TILE], planes, lps, sph_dat,
+                n_sph, nl, early_exit,
+            ))
+        return jnp.concatenate(outs)
+    pt = planes[0].shape[1]
+    ps = sph_dat.shape[1]
+    ct, cs = pt // CLUSTER, ps // CLUSTER
+    prefetch = []
+    wt = ws = 1
+    for l in range(nl):
+        tw, tl_, _, tc = _compact(*thits[l], MAX_TRI_LIST)
+        sw, sl_, _, sc = _compact(*shits[l], MAX_SPH_LIST)
+        wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
+        prefetch += [tw, tl_, tc, sw, sl_, sc]
+    prefetch.append(lps)
+    kernel = functools.partial(
+        _shadow_kernel_ml, n_sph=n_sph, ct=ct, cs=cs, wt=wt, ws=ws,
+        n_lights=nl, early_exit=early_exit,
+    )
+    bundle = jnp.concatenate([origin.T, jnp.zeros((1, r), jnp.float32)])
+    blk = TPB * TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6 * nl + 1,
+        grid=(nt // TPB,),
+        in_specs=(
+            [pl.BlockSpec((4, blk), lambda i, *_: (0, i))]
+            + [pl.BlockSpec((16, pt), lambda i, *_: (0, 0))] * nl
+            + [pl.BlockSpec((4, ps), lambda i, *_: (0, 0))]
+        ),
+        out_specs=pl.BlockSpec((TPB, TILE), lambda i, *_: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((TILE, CLUSTER), jnp.float32),
+        ],
+    )
+    found = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, TILE), jnp.int32),
+        interpret=_interpret(),
+    )(*prefetch, bundle, *planes, sph_dat)
+    return found.reshape(r)
+
+
+def _small_sphere_test_multi(cset: ClusterSet, origin, lps):
+    """Dense small-sphere occlusion for ALL lights at once: (R, L) bool
+    of any accepted hit with t < 1 on the segment origin -> light l.
+    Shares the light-independent terms (o - c, |o - c|^2 - r^2) across
+    lights; per-pair math and acceptance match _small_sphere_test /
+    the kernel quadratic exactly."""
+    n = cset.n_sph
+    cx = cset.sph_dat[0, :n][None]
+    cy = cset.sph_dat[1, :n][None]
+    cz = cset.sph_dat[2, :n][None]
+    rad = cset.sph_dat[3, :n][None]
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz        # (R, n) shared
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    occ = []
+    for l in range(lps.shape[0] // 3):
+        dx = lps[3 * l + 0] - ox
+        dy = lps[3 * l + 1] - oy
+        dz = lps[3 * l + 2] - oz
+        a_q = dx * dx + dy * dy + dz * dz
+        b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b_q - sq) / (2.0 * a_q)
+        t2 = (-b_q + sq) / (2.0 * a_q)
+        ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+        occ.append(jnp.any(ok & (t1 < 1.0), axis=1))
+    return jnp.stack(occ, axis=1)                    # (R, L)
+
+
+def cluster_shadow_multi(cset: ClusterSet, planes_list, origin, light_pos,
+                         active_per_light, early_exit: bool = True):
+    """Occlusion of origin -> light segments for ALL lights in ONE
+    kernel launch.  light_pos: (L, 3); active_per_light: (R, L) bool
+    (per-light consumed-lanes masks — the shadow-relevance gate differs
+    per light).  Returns (R, L) bool.  Bitwise-identical per light to
+    cluster_shadow; the merge only shares the per-call fixed cost and
+    the subtile ray relayout."""
+    origin = jax.lax.stop_gradient(origin)
+    planes_list = [jax.lax.stop_gradient(pl_) for pl_ in planes_list]
+    lp = jax.lax.stop_gradient(
+        jnp.asarray(light_pos, jnp.float32).reshape(-1))
+    nl = len(planes_list)
+    r0 = origin.shape[0]
+    acts = [jax.lax.stop_gradient(active_per_light[:, l])
+            for l in range(nl)]
+    r, origin, _d, *acts = _pad_rays(origin, origin, *acts)
+    ones = jnp.ones((origin.shape[0],), jnp.float32)
+    thits, shits = [], []
+    for l in range(nl):
+        dirs_l = lp[3 * l : 3 * l + 3][None] - origin
+        th, sh = _cluster_masks(cset, origin, dirs_l, acts[l], ones)
+        thits.append(th)
+        shits.append(sh)
+    found = _cluster_shadow_call_ml(
+        tuple(thits), tuple(shits), origin, planes_list, lp,
+        cset.sph_dat, cset.n_sph, nl, early_exit,
+    )
+    occ = jnp.stack([(found >> l) & 1 for l in range(nl)], axis=1) != 0
+    if 0 < cset.n_sph <= SMALL_SPH:
+        occ = occ | _small_sphere_test_multi(cset, origin, lp)
+    return occ[:r0]
+
+
 def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
                    active=None, early_exit: bool = True):
     """Occlusion of segments origin -> light (t < 1) for ONE point light.

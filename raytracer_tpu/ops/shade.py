@@ -167,6 +167,7 @@ def shade_local(
     h: Hit,
     occluded_fn: Callable,
     shadow_fn: Callable | None = None,
+    shadow_multi_fn: Callable | None = None,
 ):
     """Ambient + per-light diffuse/specular for the current wavefront.
 
@@ -176,6 +177,9 @@ def shade_local(
     shadow_fn(org, sdir, mask, light_index) -> (R,) bool, when given,
     replaces occluded_fn with a per-light specialized occlusion engine
     (the cluster engine's fixed-endpoint plane kernel).
+    shadow_multi_fn(org, masks (R, L)) -> (R, L) bool, when given, takes
+    precedence over both: ALL lights' occlusions in one kernel launch
+    (cluster_shadow_multi — shares the per-call fixed cost).
     Returns (R, 3) local radiance (zero on miss lanes).
     """
     nl = meta.n_lights
@@ -221,7 +225,9 @@ def shade_local(
     # segment occlusion is symmetric, but the changed rounding flips a
     # band of grazing-occluder pixels near wall corners — cornellbox MSE
     # vs golden 4 -> 22 — so the reference's surface-side origin stays.)
-    if shadow_fn is not None:
+    if shadow_multi_fn is not None:
+        occ2 = shadow_multi_fn(h.offset, h.hit[:, None] & relevant)
+    elif shadow_fn is not None:
         occ2 = jnp.stack([
             shadow_fn(h.offset, to_off[:, l], h.hit & relevant[:, l], l)
             for l in range(nl)
