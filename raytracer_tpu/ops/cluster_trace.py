@@ -618,10 +618,20 @@ def _any_kernel(
             # early exit: stop visiting clusters once every lane is occluded
             return jnp.sum(fnd[:]) < TILE
 
-        _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
-                        tri_body, keep_going=not_all_found)
-        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
-                        sph_body, keep_going=not_all_found)
+        # a while_loop's cond evaluates keep_going() (a (TILE, 1)
+        # reduce) even when the list is empty — guard each walk on its
+        # count (~1.7 ms/frame on horse_and_mug, whose sphere lists are
+        # always empty on the kernel path)
+        @pl.when(tc_ref[i] != 0)
+        def _():
+            _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST,
+                            wt, tri_body, keep_going=not_all_found)
+
+        @pl.when(sc_ref[i] != 0)
+        def _():
+            _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST,
+                            ws, sph_body, keep_going=not_all_found)
+
         found_out[p, :] = fnd[:, 0]
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -771,8 +781,11 @@ def _shadow_kernel(
             return jnp.sum(fnd[:]) < TILE
 
         kg = not_all_found if early_exit else None
-        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
-                        sph_body, keep_going=kg)
+
+        @pl.when(sc_ref[i] != 0)
+        def _():
+            _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST,
+                            ws, sph_body, keep_going=kg)
         found_out[p, :] = fnd[:, 0]
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -905,8 +918,11 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
                 return jnp.sum((fnd[:] & bit) != 0) < TILE
 
             kg = not_all_found if early_exit else None
-            _visit_clusters(i, sw, sl_, sc, cs, MAX_SPH_LIST, ws, sph_body,
-                            keep_going=kg)
+
+            @pl.when(sc[i] != 0)
+            def _():
+                _visit_clusters(i, sw, sl_, sc, cs, MAX_SPH_LIST, ws,
+                                sph_body, keep_going=kg)
         found_out[p, :] = fnd[:, 0]
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
