@@ -124,3 +124,38 @@ def test_cluster_shadow_matches_brute_segments(reference_inputs, scene):
     m = np.asarray(hit)
     agree = (np.asarray(occ_new)[m] == np.asarray(occ_ref)[m]).mean()
     assert agree >= 0.995, f"{scene}: only {agree:.4f} agreement"
+
+
+def test_three_light_multi_kernel_matches_brute():
+    """No bundled scene has >2 lights; the merged multi-light shadow
+    kernel (cluster_shadow_multi) is generic over the static light
+    count — pin a 3-light render against the brute engine."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracer_tpu.models.bvh import build_bvh
+    from raytracer_tpu.models.clusters import build_clusters
+    from raytracer_tpu.models.scene import load_scene
+    from raytracer_tpu.models.whitted import render_camera
+    from raytracer_tpu.ops.image import quantize
+
+    data, meta = load_scene("tests/data/entry_scene.xml")
+    lp = np.asarray(data.light_pos)[: meta.n_lights]
+    li = np.asarray(data.light_int)[: meta.n_lights]
+    lp3 = np.concatenate([lp, lp + [[0.9, 0.4, 0.2]], lp + [[-0.7, 0.8, 0.1]]])
+    li3 = np.concatenate([li, li * 0.6, li * 0.3])
+    data = dataclasses.replace(
+        data, light_pos=jnp.asarray(lp3, jnp.float32),
+        light_int=jnp.asarray(li3, jnp.float32),
+        light_valid=jnp.ones((3,), bool),
+    )
+    meta = dataclasses.replace(meta, n_lights=3)
+    cam = meta.cameras[0]
+    accel = build_clusters(data, meta, build_bvh(data, meta))
+    img_c = quantize(render_camera(data, meta, cam, bvh=accel,
+                                   engine="cluster"))
+    img_b = quantize(render_camera(data, meta, cam, engine="brute"))
+    d = np.abs(np.asarray(img_c).astype(int) - np.asarray(img_b).astype(int))
+    assert d.max() <= 1, f"3-light cluster vs brute max|delta|={d.max()}"
