@@ -81,19 +81,17 @@ def _tile_pixel_coords(h: int, w: int, bh: int, bw: int):
 
 @partial(jax.jit, static_argnames=(
     "meta", "h", "w", "engine", "bfc", "base_spp", "extra_spp", "k",
-    "tile", "reshape_blocks", "rounds"))
+    "tile", "reshape_blocks"))
 def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
                   bvh, engine, bfc, base_spp, extra_spp, k, tile,
-                  reshape_blocks, rounds=1):
+                  reshape_blocks):
     """The whole adaptive render as one traced graph: base wave ->
-    [variance -> top-k blocks -> refinement wave] x rounds -> merged
-    mean.  Multi-round refinement re-scores from the ACCUMULATED sample
+    [variance -> top-k blocks -> refinement wave] per entry of the
+    static tuple ``extra_spp`` (one entry per round) -> merged mean.
+    Multi-round refinement re-scores from the ACCUMULATED sample
     statistics each round, so blocks that merely looked noisy at
     base_spp samples drop out once their estimate tightens and the
-    budget re-concentrates on true high-variance blocks.  rounds=1
-    reproduces the single-pass behavior bitwise (same PRNG stream,
-    identical variance math via the running (sum, sum-of-squares)
-    form)."""
+    budget re-concentrates on true high-variance blocks."""
     from raytracer_tpu.models.whitted import render_rays
     from raytracer_tpu.ops.camera import eye_rays_pixels
 
@@ -101,10 +99,14 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
     rows_b = rows_t.reshape(nblk, tile)
     cols_b = cols_t.reshape(nblk, tile)
 
-    def wave(rows2, cols2, spp, subkey):
+    def wave(rows2, cols2, spp, subkey, center_first=True):
         """(B, np) pixel coords -> (B, spp, np, 3) per-sample color.
-        Sample 0 is the deterministic pixel center (the reference's
-        sampling point); the rest jitter uniformly.  Rays are laid out
+        With ``center_first`` sample 0 is the deterministic pixel center
+        (the reference's sampling point); the rest jitter uniformly.
+        REFINEMENT waves pass False — the base wave already holds the
+        center sample, and re-tracing it would add bit-identical
+        duplicates that bias the mean and deflate the variance (every
+        round would re-pay it).  Rays are laid out
         (B, spp//g, sub-blocks, g samples, tile//g pixels) so each
         TILE-ray kernel run is a tight sub-block frustum (see module
         docstring); the return value is back in logical order."""
@@ -114,7 +116,9 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
         sub = npx // p  # sub-blocks per coord row (np must divide by p)
         # logical sample space (b, spp, np); sample 0 = pixel center
         jit_ = jax.random.uniform(subkey, (b, spp, npx, 2), jnp.float32,
-                                  minval=-0.5, maxval=0.5).at[:, 0].set(0.0)
+                                  minval=-0.5, maxval=0.5)
+        if center_first:
+            jit_ = jit_.at[:, 0].set(0.0)
         # physical: (b, outer o, sub-block j, in-group sample, pixel)
         jit_p = jit_.reshape(b, og, g, sub, p, 2).transpose(0, 1, 3, 2, 4, 5)
         rr = jnp.broadcast_to(rows2.reshape(b, 1, sub, 1, p),
@@ -151,19 +155,20 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
     score = jnp.zeros((nsel,), jnp.float32)
     rows_u = rows_t.reshape(nsel, p_sel)
     cols_u = cols_t.reshape(nsel, p_sel)
-    for rnd in range(rounds if (k > 0 and extra_spp > 0) else 0):
+    for rnd in range(len(extra_spp) if k > 0 else 0):
         c = counts[:, :, 0]                          # (nsel, 1)
         var = lsq / c - jnp.square(lsum / c)         # (nsel, p_sel)
         score = jnp.mean(jnp.maximum(var, 0.0), axis=1)
         _, sel_ids = jax.lax.top_k(score, k)
         sub = kr if rnd == 0 else jax.random.fold_in(kr, rnd)
-        extra = wave(rows_u[sel_ids], cols_u[sel_ids], extra_spp, sub)
+        extra = wave(rows_u[sel_ids], cols_u[sel_ids], extra_spp[rnd], sub,
+                     center_first=False)
         lum_e = extra @ jnp.asarray(_LUM)            # (k, spp, p_sel)
         sum1 = sum1.at[sel_ids].add(jnp.sum(extra, axis=1))
         lsum = lsum.at[sel_ids].add(jnp.sum(lum_e, axis=1))
         lsq = lsq.at[sel_ids].add(jnp.sum(lum_e * lum_e, axis=1))
-        counts = counts.at[sel_ids].add(float(extra_spp))
-    if k <= 0 or extra_spp <= 0:
+        counts = counts.at[sel_ids].add(float(extra_spp[rnd]))
+    if k <= 0 or not extra_spp:
         c = counts[:, :, 0]
         var = lsq / c - jnp.square(lsum / c)
         score = jnp.mean(jnp.maximum(var, 0.0), axis=1)
@@ -195,9 +200,11 @@ def render_camera_adaptive(
 
     Every pixel gets ``base_spp`` jittered samples (sample 0 at the pixel
     center); then ``rounds`` refinement passes each give the CURRENTLY
-    noisiest ``refine_frac`` of pixel blocks ``extra_spp // rounds`` more
-    samples (re-scored from the accumulated statistics between passes,
-    so converged blocks drop out).  Returns ``(image, stats)`` where
+    noisiest ``refine_frac`` of pixel blocks their exact share of
+    ``extra_spp`` (earlier rounds take the remainder; refinement samples
+    are fully jittered — the center is already held by the base wave),
+    re-scored from the accumulated statistics between passes so
+    converged blocks drop out.  Returns ``(image, stats)`` where
     stats records the realized budget: at the defaults the frame costs
     base 4 + 0.125*12 = 5.5 samples/pixel yet resolves edge blocks at 16.
 
@@ -231,7 +238,17 @@ def render_camera_adaptive(
     k = min(nsel, max(1, round(refine_frac * nsel))) if extra_spp > 0 else 0
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    per_round = max(1, extra_spp // rounds) if extra_spp > 0 else 0
+    if extra_spp > 0 and rounds > extra_spp:
+        raise ValueError(
+            f"rounds={rounds} exceeds extra_spp={extra_spp}: each round "
+            "needs at least one sample (the budget is split EXACTLY — "
+            "no round is silently inflated)")
+    # exact split of the extra budget: earlier rounds take the remainder
+    per_round = tuple(
+        extra_spp // rounds + (1 if i < extra_spp % rounds else 0)
+        for i in range(rounds)
+    ) if extra_spp > 0 else ()
+    per_round = tuple(x for x in per_round if x > 0)
     reshape_blocks = (bh, bw) if divides(cam.height, cam.width, bh, bw) \
         else None
     img, score = _adaptive_jit(
@@ -239,16 +256,16 @@ def render_camera_adaptive(
         jnp.asarray(rows, jnp.float32), jnp.asarray(cols, jnp.float32),
         None if inv is None else jnp.asarray(inv),
         jax.random.PRNGKey(seed), bvh, engine, bfc, base_spp, per_round,
-        k, tile, reshape_blocks, rounds=rounds,
+        k, tile, reshape_blocks,
     )
     r = cam.height * cam.width
-    extra_total = k * p_sel * per_round * rounds
+    extra_total = k * p_sel * sum(per_round)
     stats = {
         "blocks": nblk,
         "refine_units": nsel,
         "refine_unit_px": p_sel,
         "refined_blocks": k,
-        "rounds": rounds,
+        "rounds": len(per_round),
         "base_spp": base_spp,
         "extra_spp_per_round": per_round,
         "total_samples": len(rows) * base_spp + extra_total,

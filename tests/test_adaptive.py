@@ -173,7 +173,7 @@ def test_multi_round_budget_and_determinism(scene):
         data, meta, cam, engine="brute", base_spp=4, extra_spp=12,
         refine_frac=0.25, rounds=3, seed=5)
     assert stats["rounds"] == 3
-    assert stats["extra_spp_per_round"] == 4
+    assert stats["extra_spp_per_round"] == (4, 4, 4)
     assert stats["total_samples"] == (
         stats["refine_units"] * 128 * 4
         + stats["refined_blocks"] * 128 * 4 * 3)
@@ -197,3 +197,20 @@ def test_multi_round_improves_over_base(scene):
     mse_base = float(np.mean((np.asarray(base_only) - t) ** 2))
     mse_multi = float(np.mean((np.asarray(multi) - t) ** 2))
     assert mse_multi < mse_base
+
+
+def test_rounds_exceeding_budget_raises(scene):
+    data, meta = scene
+    with pytest.raises(ValueError):
+        render_camera_adaptive(data, meta, meta.cameras[0], engine="brute",
+                               base_spp=2, extra_spp=2, rounds=8)
+
+
+def test_uneven_round_split_exact_budget(scene):
+    data, meta = scene
+    _, stats = render_camera_adaptive(
+        data, meta, meta.cameras[0], engine="brute", base_spp=2,
+        extra_spp=7, refine_frac=0.25, rounds=3, seed=1)
+    assert stats["extra_spp_per_round"] == (3, 2, 2)
+    assert stats["total_samples"] == (
+        stats["refine_units"] * 128 * 2 + stats["refined_blocks"] * 128 * 7)
