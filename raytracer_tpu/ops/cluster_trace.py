@@ -156,7 +156,8 @@ def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int,
     return hit, entry_lo
 
 
-def _ray_mask_kernel(act_ref, box_ref, b_ref, hit_out, ent_out):
+def _ray_mask_kernel(act_ref, box_ref, b_ref, hit_out, ent_out,
+                     *, tile: int = TILE):
     """Pallas form of the exact per-ray mask: rays on sublanes (TILE per
     subtile) x cluster boxes on lanes (Cpad), the same pair layout as the
     visit kernels.  The ray bundle arrives PRE-DERIVED as
@@ -174,8 +175,8 @@ def _ray_mask_kernel(act_ref, box_ref, b_ref, hit_out, ent_out):
 
         @pl.when(act_ref[i] != 0)
         def _():
-            lo = pl.multiple_of(p * TILE, TILE)
-            b = b_ref[:, pl.ds(lo, TILE)].T          # (TILE, 8)
+            lo = pl.multiple_of(p * tile, tile)
+            b = b_ref[:, pl.ds(lo, tile)].T          # (tile, 8)
             oix, oiy, oiz, thi = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]
             ix, iy, iz = b[:, 4:5], b[:, 5:6], b[:, 6:7]
             row = lambda j: box_ref[j, :][None, :]   # (1, Cpad)
@@ -211,6 +212,11 @@ def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int):
     FMA math; equality pinned per wave in exp_mask_kernel.py)."""
     r = dirs.shape[0]
     nt = r // tile
+    if r % tile or nt % TPB:
+        raise ValueError(
+            f"ray count {r} must be a multiple of tile*TPB="
+            f"{tile * TPB} on the TPU mask path (_pad_rays guarantees "
+            "this on every library path; pad explicitly in experiments)")
     inv = jnp.where(
         dirs != 0.0,
         jnp.clip(1.0 / jnp.where(dirs != 0.0, dirs, 1.0), -_BIG, _BIG),
@@ -243,7 +249,7 @@ def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int):
         ],
     )
     hit, ent = pl.pallas_call(
-        _ray_mask_kernel,
+        functools.partial(_ray_mask_kernel, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, cpad), jnp.int32),
@@ -940,10 +946,14 @@ def _cluster_shadow_call_ml(thits, shits, origin, planes, lps, sph_dat,
     nl = n_lights
     r = origin.shape[0]
     nt = r // TILE
-    if nt > MAX_NT:
+    # the SMEM shortlist budget (MAX_NT is sized for ONE light's lists,
+    # ~0.4 MB of ~1 MB) is shared by all n_lights copies here — shrink
+    # the per-call segment accordingly
+    max_nt = max(TPB, MAX_NT // nl // TPB * TPB)
+    if nt > max_nt:
         outs = []
-        for s in range(0, nt, MAX_NT):
-            e = min(s + MAX_NT, nt)
+        for s in range(0, nt, max_nt):
+            e = min(s + max_nt, nt)
             outs.append(_cluster_shadow_call_ml(
                 tuple((th[0][s:e], th[1][s:e]) for th in thits),
                 tuple((sh[0][s:e], sh[1][s:e]) for sh in shits),

@@ -19,10 +19,6 @@ import numpy as np
 from raytracer_tpu.models.bvh import build_bvh
 from raytracer_tpu.models.scene import load_scene
 from raytracer_tpu.models.whitted import render_camera
-from raytracer_tpu.ops.image import (
-    downsample_mean, downsample_parity, quantize, tone_map,
-)
-from raytracer_tpu.utils.ppm import write_ppm
 
 
 def main(argv=None) -> None:
@@ -144,68 +140,25 @@ def main(argv=None) -> None:
     with profile_cm:
         for _ in range(args.repeat):
             for cam in meta.cameras:
+                from raytracer_tpu.pipeline import (
+                    render_one_camera, write_image,
+                )
+
                 rcam = cam.scaled(args.ssaa) if args.ssaa > 1 else cam
+                if args.ssaa_mode == "adaptive":
+                    rcam = cam  # adaptive samples at final resolution
                 print(f"Rendering {cam.image_name} "
                       f"({rcam.width}x{rcam.height}, engine={args.engine})...")
                 t2 = time.perf_counter()
-                # jittered sampling perturbs the eye rays themselves, which
-                # only the band renderer supports — route it there always
-                force_stream = args.ssaa_mode == "jitter" and args.ssaa > 1
-                hdr = args.format == "exr"
-                # tone mapping needs the float radiance too; quantization
-                # then happens through the tone curve after SSAA reduction
-                want_float = hdr or args.tone != "none"
-                adaptive_stats = None
-                if args.ssaa_mode == "adaptive":
-                    from raytracer_tpu.ops.adaptive import render_camera_adaptive
-
-                    # variance needs >= 2 samples; at --ssaa 1 adaptive
-                    # still supersamples (2 base + refined extras)
-                    base = max(2, args.ssaa * args.ssaa)
-                    rcam = cam  # adaptive samples at final resolution
-                    color, adaptive_stats = render_camera_adaptive(
-                        data, meta, cam, bvh=accel, engine=args.engine,
-                        base_spp=base,
-                        extra_spp=(args.adaptive_extra
-                                   if args.adaptive_extra is not None
-                                   else 3 * base),
-                        refine_frac=args.adaptive_frac, bfc=args.bfc,
-                        seed=args.seed, rounds=args.adaptive_rounds,
-                    )
-                    img = (color if hdr
-                           else tone_map(color, args.tone) if want_float
-                           else quantize(color))
-                elif rcam.width * rcam.height > args.chunk or force_stream:
-                    # row-band streaming: ray state stays ~chunk-sized and
-                    # the SSAA reduction runs on device per band (needed
-                    # for e.g. 256x SSAA = 265M rays / 3.2 GB of dirs)
-                    from raytracer_tpu.models.whitted import render_camera_streamed
-
-                    img = render_camera_streamed(
-                        data, meta, cam, bvh=accel, engine=args.engine,
-                        chunk=args.chunk, bfc=args.bfc, ssaa=args.ssaa,
-                        ssaa_mode=args.ssaa_mode, hdr=want_float,
-                        seed=args.seed,
-                    )
-                    if want_float and not hdr:
-                        img = tone_map(img, args.tone)
-                else:
-                    color = render_camera(data, meta, rcam, bvh=accel,
-                                          engine=args.engine,
-                                          chunk=args.chunk, bfc=args.bfc)
-                    if want_float:
-                        img = (downsample_mean(color, args.ssaa)
-                               if args.ssaa > 1 else color)
-                        if not hdr:
-                            img = tone_map(img, args.tone)
-                    elif args.ssaa > 1:
-                        if args.ssaa_mode == "parity":
-                            img = downsample_parity(quantize(color), args.ssaa)
-                        else:
-                            img = quantize(downsample_mean(color, args.ssaa))
-                    else:
-                        img = quantize(color)
-                img = np.asarray(img)
+                img, adaptive_stats = render_one_camera(
+                    data, meta, cam, accel, engine=args.engine,
+                    ssaa=args.ssaa, ssaa_mode=args.ssaa_mode, bfc=args.bfc,
+                    chunk=args.chunk, tone=args.tone,
+                    hdr=args.format == "exr", seed=args.seed,
+                    adaptive_frac=args.adaptive_frac,
+                    adaptive_extra=args.adaptive_extra,
+                    adaptive_rounds=args.adaptive_rounds,
+                )
                 t3 = time.perf_counter()
                 t_render += t3 - t2
                 rays = rcam.width * rcam.height
@@ -226,18 +179,7 @@ def main(argv=None) -> None:
                     if adaptive_stats is not None:
                         line["adaptive"] = adaptive_stats
                     print(json.dumps(line))
-                if args.format == "png":
-                    from raytracer_tpu.utils.png import write_png
-
-                    stem = cam.image_name.rsplit(".", 1)[0]
-                    write_png(f"{args.out_dir}/{stem}.png", img)
-                elif args.format == "exr":
-                    from raytracer_tpu.utils.exr import write_exr
-
-                    stem = cam.image_name.rsplit(".", 1)[0]
-                    write_exr(f"{args.out_dir}/{stem}.exr", img)
-                else:
-                    write_ppm(f"{args.out_dir}/{cam.image_name}", img)
+                write_image(args.out_dir, cam.image_name, img, args.format)
     print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
     print(f"Total: {t_render / args.repeat + (t1 - t0):.3f} seconds.")
 

@@ -109,82 +109,49 @@ class RenderServer:
                     "error": f"{type(e).__name__}: {e}"}
 
     def _render(self, req: dict) -> dict:
-        from raytracer_tpu.models.whitted import (
-            render_camera, render_camera_streamed,
-        )
-        from raytracer_tpu.ops.image import (
-            downsample_mean, downsample_parity, quantize, tone_map,
-        )
-        from raytracer_tpu.utils.ppm import write_ppm
+        from raytracer_tpu.pipeline import render_one_camera, write_image
 
         scene = req["scene"]
         engine = req.get("engine", "auto")
-        ssaa = int(req.get("ssaa", 1))
-        ssaa_mode = req.get("ssaa_mode", "parity")
-        bfc = bool(req.get("bfc", False))
         fmt = req.get("format", "ppm")
-        tone = req.get("tone", "none")
         out_dir = req.get("out_dir", ".")
-        chunk = int(req.get("chunk", 1 << 22))
+        ssaa = int(req.get("ssaa", 1))
         cam_idx = req.get("camera")
         os.makedirs(out_dir, exist_ok=True)
 
         data, meta, accel = self._load(scene, engine)
         cams = meta.cameras if cam_idx is None else [meta.cameras[cam_idx]]
-        hdr = fmt == "exr"
         images = []
         rays = 0
+        adaptive_stats = None
         t0 = time.perf_counter()
         for cam in cams:
+            img, adaptive_stats = render_one_camera(
+                data, meta, cam, accel, engine=engine, ssaa=ssaa,
+                ssaa_mode=req.get("ssaa_mode", "parity"),
+                bfc=bool(req.get("bfc", False)),
+                chunk=int(req.get("chunk", 1 << 22)),
+                tone=req.get("tone", "none"), hdr=fmt == "exr",
+                seed=int(req.get("seed", 0)),
+                adaptive_frac=float(req.get("adaptive_frac", 0.125)),
+                adaptive_extra=req.get("adaptive_extra"),
+                adaptive_rounds=int(req.get("adaptive_rounds", 1)),
+            )
+            images.append(write_image(out_dir, cam.image_name, img, fmt))
             rcam = cam.scaled(ssaa) if ssaa > 1 else cam
-            stream = (rcam.width * rcam.height > chunk
-                      or (ssaa_mode == "jitter" and ssaa > 1))
-            if stream:
-                img = render_camera_streamed(
-                    data, meta, cam, bvh=accel, engine=engine, chunk=chunk,
-                    bfc=bfc, ssaa=ssaa, ssaa_mode=ssaa_mode, hdr=hdr or
-                    tone != "none", seed=int(req.get("seed", 0)),
-                )
-            else:
-                color = render_camera(data, meta, rcam, bvh=accel,
-                                      engine=engine, chunk=chunk, bfc=bfc)
-                if hdr or tone != "none":
-                    img = (downsample_mean(color, ssaa) if ssaa > 1
-                           else color)
-                elif ssaa > 1:
-                    img = (downsample_parity(quantize(color), ssaa)
-                           if ssaa_mode == "parity"
-                           else quantize(downsample_mean(color, ssaa)))
-                else:
-                    img = quantize(color)
-            if tone != "none" and not hdr:
-                img = tone_map(img, tone)
-            img = np.asarray(img)
-            stem = cam.image_name.rsplit(".", 1)[0]
-            if fmt == "png":
-                from raytracer_tpu.utils.png import write_png
-
-                path = os.path.join(out_dir, f"{stem}.png")
-                write_png(path, img)
-            elif fmt == "exr":
-                from raytracer_tpu.utils.exr import write_exr
-
-                path = os.path.join(out_dir, f"{stem}.exr")
-                write_exr(path, img)
-            else:
-                path = os.path.join(out_dir, cam.image_name)
-                write_ppm(path, img)
-            images.append(path)
             rays += rcam.width * rcam.height
         dt = time.perf_counter() - t0
         self.renders += len(cams)
-        return {
+        resp = {
             "ok": True,
             "id": req.get("id"),
             "images": images,
             "render_s": round(dt, 4),
             "mrays_per_s": round(rays / dt / 1e6, 3),
         }
+        if adaptive_stats is not None:
+            resp["adaptive"] = adaptive_stats
+        return resp
 
 
 def _serve_stream(server: RenderServer, rfile, wfile) -> bool:
@@ -247,8 +214,15 @@ def main(argv=None) -> None:
             with conn:
                 rfile = conn.makefile("r", encoding="utf-8")
                 wfile = conn.makefile("w", encoding="utf-8")
-                if _serve_stream(server, rfile, wfile):
-                    break
+                try:
+                    if _serve_stream(server, rfile, wfile):
+                        break
+                except OSError as e:
+                    # a client dropping mid-stream (BrokenPipe /
+                    # ConnectionReset) must never kill the warm server —
+                    # its whole value is the resident compiled state
+                    print(json.dumps({"client_error": str(e)}),
+                          file=sys.stderr, flush=True)
     finally:
         sock.close()
 

@@ -100,3 +100,19 @@ def test_stdin_protocol_subprocess(tmp_path):
     assert lines[2]["ok"] and lines[2]["id"] == "sub", lines[2]
     assert lines[3]["ok"] and lines[3]["shutdown"]
     assert os.path.exists(os.path.join(str(tmp_path), "simple.ppm"))
+
+
+def test_bad_ssaa_mode_rejected(server, tmp_path):
+    """Typos must produce an error response, not a silently different
+    render (code-review finding: 'pairty' used to render as mean SSAA)."""
+    r = server.handle({"scene": SIMPLE, "out_dir": str(tmp_path),
+                       "ssaa": 2, "ssaa_mode": "pairty"})
+    assert not r["ok"] and "ssaa_mode" in r["error"]
+
+
+def test_adaptive_via_server(server, tmp_path):
+    r = server.handle({"scene": SIMPLE, "out_dir": str(tmp_path),
+                       "ssaa_mode": "adaptive", "ssaa": 2,
+                       "adaptive_rounds": 2, "engine": "brute"})
+    assert r["ok"], r
+    assert r["adaptive"]["rounds"] == 2
