@@ -28,6 +28,19 @@ if os.path.exists(OUT):
         for line in f:
             done.add(json.loads(line)["image"])
 
+# The FIRST scene rendered in a fresh process reads ~9x slow even after two
+# synced warmup frames (BASELINE.md measurement note) — burn that artifact on
+# a throwaway render so the first recorded row is trustworthy without a
+# manual re-measure.
+_wdata, _wmeta = load_scene("/root/reference/inputs/simple.xml")
+_wbvh = build_bvh(_wdata, _wmeta)
+_waccel = jax.device_put(build_clusters(_wdata, _wmeta, _wbvh))
+_wdata = jax.device_put(_wdata)
+for _ in range(3):
+    float(jnp.sum(render_camera(_wdata, _wmeta, _wmeta.cameras[0],
+                                bvh=_waccel, engine="cluster",
+                                chunk=1 << 21)))
+
 for scene in SCENES:
     path = f"/root/reference/inputs/{scene}.xml"
     data, meta = load_scene(path)

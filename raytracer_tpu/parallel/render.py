@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from raytracer_tpu.models.bvh import BVH
 from raytracer_tpu.models.scene import Camera, SceneData, SceneMeta
@@ -39,7 +39,7 @@ def _sharded_render_fn(mesh: Mesh, meta: SceneMeta, engine: str, has_bvh: bool):
         mesh=mesh,
         in_specs=(P(), bvh_spec, P(), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from raytracer_tpu.models.bvh import BVH
 from raytracer_tpu.models.scene import SceneData, SceneMeta
@@ -100,7 +100,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), bvh_spec),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
