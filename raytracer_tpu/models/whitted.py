@@ -32,6 +32,54 @@ from raytracer_tpu.ops import traverse
 from raytracer_tpu.ops.camera import eye_rays
 from raytracer_tpu.ops.shade import refine_hit, reflection_rays, shade_local
 
+# First bounce depth at which the wavefront carry is compacted (stably
+# sorted by activity so live lanes form a dense prefix).  Deep-recursion
+# scenes (marbles: 23% of rays still bouncing at depth 6, survivors
+# SCATTERED across tiles) otherwise pay near-full tile prices on every
+# wave; compaction lets the trailing all-inactive tiles hit the kernels'
+# scalar-prefetch skip paths and the all-lanes-occluded early exits.
+# Validated on marbles' bounce-3 2-light shadow wave: 50.6 -> 28.4 ms for
+# a 5.2 ms sort (experiments/exp_marbles_compact.py); occlusion verified
+# permutation-covariant.  Round-2 measured that sorting horse_and_mug's
+# 3 coherent bounces LOSES (pixel order already clusters mirror paths),
+# so compaction is gated to scenes with max_depth >= _COMPACT_MIN_DEPTH.
+_COMPACT_FROM = 2
+_COMPACT_MIN_DEPTH = 3
+
+
+def _compact_carry(carry):
+    """Stably sort the bounce carry by activity: live lanes first.
+
+    One 14-operand lax.sort (~3.3 ms/M rays) serves the bounce's closest
+    AND shadow calls.  The active mask is recovered from the sorted key;
+    ``idx`` records the permutation so the accumulated color can be
+    restored to ray order after the loop (a second small sort — scatters
+    on (R, k) arrays cost up to 43 ms on TPU, sorts don't).
+    """
+    depth, color, throughput, active, org, dirs, idx = carry
+    key = (~active).astype(jnp.int32)
+    (skey, idx, c0, c1, c2, t0, t1, t2, o0, o1, o2, d0, d1, d2) = jax.lax.sort(
+        (key, idx,
+         color[:, 0], color[:, 1], color[:, 2],
+         throughput[:, 0], throughput[:, 1], throughput[:, 2],
+         org[:, 0], org[:, 1], org[:, 2],
+         dirs[:, 0], dirs[:, 1], dirs[:, 2]),
+        is_stable=True, num_keys=1)
+    return (depth,
+            jnp.stack([c0, c1, c2], 1),
+            jnp.stack([t0, t1, t2], 1),
+            skey == 0,
+            jnp.stack([o0, o1, o2], 1),
+            jnp.stack([d0, d1, d2], 1),
+            idx)
+
+
+def _uncompact_color(color, idx):
+    """Restore accumulated radiance to original ray order (sort by idx)."""
+    _, c0, c1, c2 = jax.lax.sort(
+        (idx, color[:, 0], color[:, 1], color[:, 2]), num_keys=1)
+    return jnp.stack([c0, c1, c2], 1)
+
 
 def render_rays(
     data: SceneData,
@@ -99,8 +147,19 @@ def render_rays(
                     return cluster_shadow_multi(
                         bvh, planes, org, lp_all[: meta.n_lights], masks)
 
+    # per-bounce active-lane compaction for deep scattered wavefronts
+    # (see _compact_carry).  Gated off for shallow scenes (horse_and_mug:
+    # max_depth 2, coherent bounces — measured loss) and the
+    # differentiable path (scan carries would double sort count under AD
+    # for no forward win).
+    compact = (fast_hits and meta.max_depth >= _COMPACT_MIN_DEPTH
+               and not differentiable)
+
     def bounce(carry, shared_eye: bool = False):
-        depth, color, throughput, active, cur_org, cur_dir = carry
+        if compact:
+            carry = jax.lax.cond(
+                carry[0] >= _COMPACT_FROM, _compact_carry, lambda c: c, carry)
+        depth, color, throughput, active, cur_org, cur_dir, idx = carry
         if fast_hits:
             from raytracer_tpu.ops.cluster_trace import cluster_closest_hit
             from raytracer_tpu.ops.shade import Hit
@@ -145,10 +204,10 @@ def render_rays(
         throughput = jnp.where(active[:, None], throughput * tint, 0.0)
         cur_org = jnp.where(active[:, None], refl_org, cur_org)
         cur_dir = jnp.where(active[:, None], refl_dir, cur_dir)
-        return depth + 1, color, throughput, active, cur_org, cur_dir
+        return depth + 1, color, throughput, active, cur_org, cur_dir, idx
 
     def alive(carry):
-        depth, _, _, active, _, _ = carry
+        depth, _, _, active, _, _, _ = carry
         return (depth <= meta.max_depth) & jnp.any(active)
 
     init = (
@@ -158,6 +217,7 @@ def render_rays(
         jnp.ones((r,), bool),
         origin,
         dirs,
+        jnp.arange(r, dtype=jnp.int32),
     )
     if differentiable:
         # reverse-mode AD cannot cross lax.while_loop; unroll via scan to
@@ -165,7 +225,7 @@ def render_rays(
         def scan_bounce(carry, _):
             return bounce(carry), None
 
-        (_, color, _, _, _, _), _ = jax.lax.scan(
+        (_, color, _, _, _, _, _), _ = jax.lax.scan(
             scan_bounce, init, None, length=meta.max_depth + 1
         )
         return color
@@ -178,7 +238,9 @@ def render_rays(
     carry = init
     if fast_hits and eye_shared:
         carry = bounce(carry, shared_eye=True)
-    _, color, _, _, _, _ = jax.lax.while_loop(alive, bounce, carry)
+    _, color, _, _, _, _, idx = jax.lax.while_loop(alive, bounce, carry)
+    if compact:
+        color = _uncompact_color(color, idx)
     return color
 
 
@@ -212,15 +274,23 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
 
 @partial(jax.jit, static_argnames=(
     "meta", "h", "w", "band_h", "engine", "bfc", "ssaa", "ssaa_mode",
-    "blocks", "hdr"))
+    "blocks", "hdr", "mesh"))
 def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
                      bvh, engine, bfc, ssaa, ssaa_mode, blocks=None,
-                     hdr=False, seed=None):
+                     hdr=False, seed=None, mesh=None):
     """One streamed row band: eye rays for rows [row0, row0+band_h) at the
     SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8
     (``hdr=True`` skips quantization and returns float32 linear radiance
     — the EXR output path; SSAA then always reduces as a float mean).
-    ``row0`` is traced, so every equal-height band shares one compile."""
+    ``row0`` is traced, so every equal-height band shares one compile.
+
+    ``mesh``: an optional 1-D jax.sharding.Mesh — the trace is then
+    shard_map'ed over the band's (tile-ordered) ray axis, the TPU-native
+    replacement for the reference's hardware_concurrency() thread fan-out
+    (/root/reference/raytracer.cpp:367-377).  Everything around the trace
+    (eye rays, tile order, SSAA reduction, quantization) is the SAME code
+    as single-device, so parity holds by construction; the caller aligns
+    band_h so each shard receives whole pixel-tile blocks."""
     from raytracer_tpu.ops.camera import eye_rays_band
     from raytracer_tpu.ops.image import (
         downsample_mean, downsample_parity, quantize,
@@ -238,8 +308,23 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
             key, (band_h, w, 2), jnp.float32, minval=-0.5, maxval=0.5)
     origin, dirs = eye_rays_band(cam_vec, w, h, row0, band_h, jitter=jitter)
     dirs = apply_tile_order(dirs, band_h, w, blocks, perm)
-    color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
-                        bfc=bfc)
+    if mesh is None or mesh.size == 1:
+        color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
+                            bfc=bfc)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from raytracer_tpu.parallel.mesh import RAY_AXIS
+
+        def local(dat, bv, org, dd):
+            return render_rays(dat, meta, org, dd, bvh=bv, engine=engine,
+                               bfc=bfc)
+
+        color = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS), check_vma=False,
+        )(data, bvh, origin, dirs)
     color = undo_tile_order(color, band_h, w, blocks, inv)
     color = color.reshape(band_h, w, 3)
     if hdr:
@@ -273,6 +358,7 @@ def render_camera_streamed(
     ssaa_mode: str = "parity",
     hdr: bool = False,
     seed: int = 0,
+    mesh=None,
 ):
     """Render one camera to a final-resolution (H, W, 3) uint8 image by
     streaming ROW BANDS of the SSAA-scaled frame through the device
@@ -285,6 +371,13 @@ def render_camera_streamed(
     raytracer.cpp:506-512).  Bands keep the scaled-resolution pixel-tile
     coherence that the cluster kernel's shortlists depend on, and the SSAA
     reduction runs per band on device so only uint8 leaves the band loop.
+
+    ``mesh``: optional 1-D device mesh — each band's ray axis is then
+    sharded over it (see _render_band_jit).  Band heights are additionally
+    aligned so every shard holds whole pixel-tile blocks, and the frame is
+    padded with virtual bottom rows to keep all shards equal (the extra
+    rows are rendered and cropped; eye-ray math extrapolates the image
+    plane, so in-frame pixels are bitwise unaffected).
     """
     from raytracer_tpu.models.clusters import ClusterSet
     from raytracer_tpu.ops.camera import camera_vectors
@@ -299,12 +392,18 @@ def render_camera_streamed(
             engine = "brute"
     hs, ws = cam.height * ssaa, cam.width * ssaa
     lcm = 16 * ssaa // np.gcd(16, ssaa)
+    if mesh is not None and mesh.size > 1:
+        # every shard must hold an equal, whole-block slice of the band
+        shard_rows = (_tile_block_shape()[0] if engine == "cluster" else 1)
+        lcm = int(np.lcm(lcm, shard_rows * mesh.size))
     band_h = max(lcm, (chunk // ws) // lcm * lcm)
     cam_vec = jnp.asarray(camera_vectors(cam))
     bands = []
     row0 = 0
     while row0 < hs:
         bh = min(band_h, hs - row0)  # trailing band may be shorter
+        if mesh is not None and mesh.size > 1 and bh % lcm:
+            bh = ((bh + lcm - 1) // lcm) * lcm  # virtual pad rows (mesh)
         blocks = p = i = None
         if engine == "cluster":
             from raytracer_tpu.ops.tiling import divides
@@ -318,10 +417,11 @@ def render_camera_streamed(
         bands.append(_render_band_jit(
             data, meta, cam_vec, hs, ws, jnp.float32(row0), bh, p, i,
             bvh, engine, bfc, ssaa, ssaa_mode, blocks=blocks, hdr=hdr,
-            seed=jnp.uint32(seed),
+            seed=jnp.uint32(seed), mesh=mesh,
         ))
         row0 += bh
-    return jnp.concatenate(bands, axis=0)
+    out = jnp.concatenate(bands, axis=0)
+    return out[: cam.height] if out.shape[0] != cam.height else out
 
 
 def render_camera(

@@ -40,6 +40,7 @@ def render_one_camera(
     adaptive_frac: float = 0.125,
     adaptive_extra: Optional[int] = None,
     adaptive_rounds: int = 1,
+    mesh=None,
 ) -> Tuple[np.ndarray, Optional[dict]]:
     """Render one camera to its final-resolution image.
 
@@ -48,6 +49,14 @@ def render_one_camera(
     ignored — EXR stays linear).  ``adaptive_stats`` is non-None only in
     adaptive mode.  Raises ValueError on unknown mode strings — a server
     must reject typos rather than silently render something else.
+
+    ``mesh``: optional 1-D jax.sharding.Mesh; the trace is sharded over
+    its devices with IDENTICAL reduction/quantization semantics (the
+    sharded band renderer reuses this pipeline's code paths — see
+    models.whitted._render_band_jit).  Adaptive mode stays single-device
+    (its per-round refinement wavefronts are data-dependent and small;
+    sharding them buys nothing — use jitter mode for multi-chip
+    stochastic sampling).
     """
     from raytracer_tpu.models.whitted import (
         render_camera, render_camera_streamed,
@@ -64,6 +73,12 @@ def render_one_camera(
     want_float = hdr or tone != "none"
     rcam = cam.scaled(ssaa) if ssaa > 1 else cam
     stats = None
+    if mesh is not None and (mesh.size == 1 or ssaa_mode == "adaptive"
+                             or (cam.width * ssaa) % 16):
+        # adaptive stays single-device (docstring); a scaled width that
+        # isn't a multiple of the pixel-tile block would split tile
+        # blocks across shards (no bundled scene; fall back safely)
+        mesh = None
 
     if ssaa_mode == "adaptive":
         from raytracer_tpu.ops.adaptive import render_camera_adaptive
@@ -81,16 +96,18 @@ def render_one_camera(
         img = (color if hdr
                else tone_map(color, tone) if want_float
                else quantize(color))
-    elif (rcam.width * rcam.height > chunk
+    elif (mesh is not None
+          or rcam.width * rcam.height > chunk
           or (ssaa_mode == "jitter" and ssaa > 1)):
         # row-band streaming: ray state stays ~chunk-sized and the SSAA
         # reduction runs on device per band (a 256x-SSAA horse frame is
         # 265M rays); jittered sampling perturbs the eye rays themselves,
-        # which only the band renderer supports
+        # which only the band renderer supports.  A mesh always routes
+        # here — the band renderer is the sharding-aware path.
         img = render_camera_streamed(
             data, meta, cam, bvh=accel, engine=engine, chunk=chunk,
             bfc=bfc, ssaa=ssaa, ssaa_mode=ssaa_mode, hdr=want_float,
-            seed=seed,
+            seed=seed, mesh=mesh,
         )
         if want_float and not hdr:
             img = tone_map(img, tone)

@@ -53,6 +53,13 @@ def main(argv=None) -> None:
                          "(jitter/adaptive); same seed = same image")
     ap.add_argument("--engine", choices=["auto", "brute", "bvh", "cluster"],
                     default="auto")
+    ap.add_argument("--mesh", default="auto", metavar="auto|N",
+                    help="device mesh size: 'auto' (default) shards the "
+                         "ray axis over ALL local devices — the "
+                         "zero-config analog of the reference's "
+                         "hardware_concurrency() thread fan-out "
+                         "(raytracer.cpp:367-377); an integer uses the "
+                         "first N devices (1 = single-device)")
     ap.add_argument("--bfc", action="store_true",
                     help="cull backfacing triangles (the TA outputs/ golden "
                          "semantics; the reference code never culls, "
@@ -100,8 +107,24 @@ def main(argv=None) -> None:
         jax.profiler.trace(args.profile) if args.profile
         else contextlib.nullcontext()
     )
+    # device mesh: every local chip by default, like the reference's
+    # automatic hardware_concurrency() fan-out
+    mesh = None
+    n_mesh = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
+    if n_mesh > 1:
+        from raytracer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n=n_mesh)
+        print(f"Rendering with {mesh.size} devices "
+              f"({mesh.devices.flat[0].platform}).")
+
     data, meta = load_scene(args.scene)
-    data = jax.device_put(data)
+    if mesh is not None:
+        from raytracer_tpu.parallel.mesh import replicated
+
+        data = jax.device_put(data, replicated(mesh))
+    else:
+        data = jax.device_put(data)
 
     t0 = time.perf_counter()
     accel = None
@@ -117,7 +140,7 @@ def main(argv=None) -> None:
             bvh = build_bvh(data, meta)
             clusters = None
         if args.engine == "bvh":
-            accel = jax.device_put(bvh)
+            accel = bvh
         else:  # cluster (and auto's preferred accelerator)
             if clusters is None:
                 from raytracer_tpu.models.clusters import build_clusters
@@ -127,7 +150,13 @@ def main(argv=None) -> None:
                     from raytracer_tpu.utils.checkpoint import save_accel
 
                     save_accel(args.accel_cache, bvh, clusters)
-            accel = jax.device_put(clusters)
+            accel = clusters
+        if mesh is not None:
+            from raytracer_tpu.parallel.mesh import replicated
+
+            accel = jax.device_put(accel, replicated(mesh))
+        else:
+            accel = jax.device_put(accel)
     t1 = time.perf_counter()
     print(f"Planted trees in {t1 - t0:.3f} seconds.")
     if args.ssaa > 1:
@@ -158,6 +187,7 @@ def main(argv=None) -> None:
                     adaptive_frac=args.adaptive_frac,
                     adaptive_extra=args.adaptive_extra,
                     adaptive_rounds=args.adaptive_rounds,
+                    mesh=mesh,
                 )
                 t3 = time.perf_counter()
                 t_render += t3 - t2

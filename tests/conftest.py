@@ -7,13 +7,18 @@ host devices (the same mechanism the driver uses for multi-chip dry-runs).
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+TPU_TESTS = os.environ.get("RAYTRACER_TPU_TESTS", "") == "1"
+
+if not TPU_TESTS:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -29,6 +34,12 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(
+        reason="on-hardware cert: set RAYTRACER_TPU_TESTS=1 and run "
+               "`pytest -m tpu` on a machine with a real TPU")
+    for item in items:
+        if "tpu" in item.keywords and not TPU_TESTS:
+            item.add_marker(skip_tpu)
     if config.getoption("--run-veryslow"):
         return
     skip = pytest.mark.skip(reason="needs --run-veryslow (stats in BASELINE.md)")
