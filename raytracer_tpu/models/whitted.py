@@ -32,19 +32,32 @@ from raytracer_tpu.ops import traverse
 from raytracer_tpu.ops.camera import eye_rays
 from raytracer_tpu.ops.shade import refine_hit, reflection_rays, shade_local
 
-# First bounce depth at which the wavefront carry is compacted (stably
-# sorted by activity so live lanes form a dense prefix).  Deep-recursion
-# scenes (marbles: 23% of rays still bouncing at depth 6, survivors
-# SCATTERED across tiles) otherwise pay near-full tile prices on every
-# wave; compaction lets the trailing all-inactive tiles hit the kernels'
-# scalar-prefetch skip paths and the all-lanes-occluded early exits.
-# Validated on marbles' bounce-3 2-light shadow wave: 50.6 -> 28.4 ms for
-# a 5.2 ms sort (experiments/exp_marbles_compact.py); occlusion verified
-# permutation-covariant.  Round-2 measured that sorting horse_and_mug's
-# 3 coherent bounces LOSES (pixel order already clusters mirror paths),
-# so compaction is gated to scenes with max_depth >= _COMPACT_MIN_DEPTH.
+# First bounce depth at which the wavefront carry MAY be compacted
+# (stably sorted by activity so live lanes form a dense prefix).
+# Deep-recursion scenes (marbles: 23% of rays still bouncing at depth 6,
+# survivors SCATTERED across tiles) otherwise pay near-full tile prices
+# on every wave; compaction lets the trailing all-inactive tiles hit the
+# kernels' scalar-prefetch skip paths and the all-lanes-occluded early
+# exits.  Validated on marbles' bounce-3 2-light shadow wave: 50.6 ->
+# 28.4 ms for a 5.2 ms sort (experiments/exp_marbles_compact.py);
+# occlusion verified permutation-covariant.
+#
+# Whether to sort is decided AT RUNTIME per bounce (lax.cond on a
+# scatter statistic): the round-4 integrated A/B
+# (experiments/exp_compact_integrated.py) measured that an
+# unconditional per-bounce sort wins only on marbles (472 -> 372 ms)
+# and LOSES on every coherent deep scene (mirror_spheres 62 -> 97,
+# car 213 -> 259, monkey 62 -> 91 ms): when survivors are already
+# pixel-clustered, the sort costs more than the skipped tiles save AND
+# mixing distant pixels into one tile loosens the shortlists.  The
+# discriminator is live-tile fraction minus active-lane fraction —
+# large iff live lanes are SCATTERED (many tiles kept alive by few
+# lanes); compaction fires only above _COMPACT_SCATTER.  Round-2's
+# "sorted wavefronts lose" verdict is the coherent-scene side of this
+# statistic, now enforced at runtime instead of by a global off-switch.
 _COMPACT_FROM = 2
 _COMPACT_MIN_DEPTH = 3
+_COMPACT_SCATTER = 0.15
 
 
 def _compact_carry(carry):
@@ -148,17 +161,30 @@ def render_rays(
                         bvh, planes, org, lp_all[: meta.n_lights], masks)
 
     # per-bounce active-lane compaction for deep scattered wavefronts
-    # (see _compact_carry).  Gated off for shallow scenes (horse_and_mug:
-    # max_depth 2, coherent bounces — measured loss) and the
-    # differentiable path (scan carries would double sort count under AD
-    # for no forward win).
+    # (see _compact_carry; fires at runtime only when the wave measures
+    # scattered).  Gated off for shallow scenes (horse_and_mug:
+    # max_depth 2, coherent bounces — measured loss), the differentiable
+    # path (scan carries would double sort count under AD for no forward
+    # win), and non-TILE-multiple wavefronts (tile stats undefined).
     compact = (fast_hits and meta.max_depth >= _COMPACT_MIN_DEPTH
                and not differentiable)
+    if compact:
+        from raytracer_tpu.ops.cluster_trace import TILE as _TILE
+
+        compact = r % _TILE == 0
 
     def bounce(carry, shared_eye: bool = False):
         if compact:
+            from raytracer_tpu.ops.cluster_trace import TILE
+
+            act = carry[3]
+            act_f = jnp.mean(act.astype(jnp.float32))
+            live_f = jnp.mean(
+                act.reshape(-1, TILE).any(1).astype(jnp.float32))
+            scattered = live_f - act_f > _COMPACT_SCATTER
             carry = jax.lax.cond(
-                carry[0] >= _COMPACT_FROM, _compact_carry, lambda c: c, carry)
+                (carry[0] >= _COMPACT_FROM) & scattered,
+                _compact_carry, lambda c: c, carry)
         depth, color, throughput, active, cur_org, cur_dir, idx = carry
         if fast_hits:
             from raytracer_tpu.ops.cluster_trace import cluster_closest_hit

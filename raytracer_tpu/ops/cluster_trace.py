@@ -156,6 +156,132 @@ def tile_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int,
     return hit, entry_lo
 
 
+def _ray_mask_jnp(origin, dirs, active, cmin, cmax, t_hi, tile: int):
+    """Pure-jnp exact per-ray mask (the CPU path of ray_cluster_mask and
+    the COARSE supercluster pass of the hierarchical TPU mask).  Same
+    clamped-reciprocal FMA slab math as the Pallas kernel — bitwise-equal
+    masks (pinned in exp_mask_kernel.py)."""
+    r = dirs.shape[0]
+    nt = r // tile
+    o = origin.reshape(nt, tile, 1, 3)
+    d = dirs.reshape(nt, tile, 1, 3)
+    # clamped to the finite sentinel so denormal-tiny components cannot
+    # produce an infinite reciprocal (inf*c - inf*o would be NaN)
+    inv = jnp.where(
+        d != 0.0,
+        jnp.clip(1.0 / jnp.where(d != 0.0, d, 1.0), -_BIG, _BIG),
+        _BIG,
+    )
+    oi = o * inv                            # per-ray, hoisted out of C
+    t1 = cmin[None, None] * inv - oi        # (nt, tile, C, 3): 1 FMA/pair
+    t2 = cmax[None, None] * inv - oi
+    near = jnp.minimum(t1, t2)
+    far = jnp.maximum(t1, t2)
+    entry = near.max(-1)                    # (nt, tile, C)
+    exit_ = far.min(-1)
+    hit = (entry <= exit_) & (exit_ >= 0.0)
+    if t_hi is not None:
+        hit &= entry <= t_hi.reshape(nt, tile, 1)
+    if active is not None:
+        hit &= active.reshape(nt, tile, 1)
+    e = jnp.where(hit, entry, jnp.inf).min(1)
+    return hit.any(1), e
+
+
+# Hierarchical (two-level) mask: above this many cluster columns the TPU
+# mask kernel guards each 128-cluster lane-row chunk with a COARSE
+# supercluster test, so per-tile mask work scales with the geometry a
+# tile actually crosses instead of O(C).  This is the reference BVH's
+# log-depth idea (/root/reference/bvh.h:48-79) recast for the flat
+# engine: superclusters are unions of 128 consecutive BVH-preorder
+# clusters, i.e. real subtree-ish boxes.  Soundness is exact: a
+# supercluster box contains its clusters' boxes componentwise, and the
+# slab test's FMA/min/max chain is monotone in the box coordinates, so
+# coarse-miss => fine-miss bitwise (no tolerance argument needed).
+# Bundled scenes all have cpad <= 512 and keep the single-level kernel
+# unchanged; the hierarchy only engages for big scenes (~>65k tris).
+_SUPER = 128
+_SUPER_MIN_CPAD = 512
+
+
+def _super_boxes(cmin, cmax, cpad: int):
+    """(S, 3) nan-aware unions of each 128-cluster chunk's boxes (NaN =
+    empty/padding cluster, never hit — matching models.clusters)."""
+    c = cmin.shape[0]
+    pad = cpad - c
+    cmin_p = jnp.concatenate(
+        [cmin, jnp.full((pad, 3), jnp.nan, cmin.dtype)]) if pad else cmin
+    cmax_p = jnp.concatenate(
+        [cmax, jnp.full((pad, 3), jnp.nan, cmax.dtype)]) if pad else cmax
+    s = cpad // _SUPER
+    smin = jnp.nanmin(cmin_p.reshape(s, _SUPER, 3), axis=1)
+    smax = jnp.nanmax(cmax_p.reshape(s, _SUPER, 3), axis=1)
+    return smin, smax
+
+
+def _ray_mask_kernel_hier(act_ref, sup_ref, box_ref, b_ref, hit_out, ent_out,
+                          *, tile: int, n_chunks: int):
+    """Hierarchical form of _ray_mask_kernel: the (tile, cpad) pair work
+    is split into 128-cluster lane-row chunks, each guarded by the
+    subtile's coarse supercluster bit (sup_ref, scalar-prefetched flat
+    (nt * n_chunks,)).  A tile pays only for the superclusters it
+    crosses; everything else is a zero-fill store.
+
+    Outputs are 3-D (TPB, n_chunks, 128) blocks: every chunk store is
+    then a FULL-lane-row store at a static chunk index — Mosaic rejects
+    a lane-offset store at a dynamic sublane index ("dynamic store with
+    unaligned indices"), which is what the natural
+    ``hit_out[p, pl.ds(j*128, 128)]`` form lowers to."""
+    base = pl.program_id(0) * TPB
+
+    def subtile(p, _):
+        i = base + p
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            lo = pl.multiple_of(p * tile, tile)
+            b = b_ref[:, pl.ds(lo, tile)].T          # (tile, 8)
+            oix, oiy, oiz, thi = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]
+            ix, iy, iz = b[:, 4:5], b[:, 5:6], b[:, 6:7]
+            for j in range(n_chunks):
+                cl = pl.multiple_of(j * _SUPER, _SUPER)
+
+                @pl.when(sup_ref[i * n_chunks + j] != 0)
+                def _(j=j, cl=cl):
+                    row = lambda k: box_ref[k, pl.ds(cl, _SUPER)][None, :]
+                    t1 = ix * row(0) - oix
+                    t2 = ix * row(4) - oix
+                    nx = jnp.minimum(t1, t2); fx = jnp.maximum(t1, t2)
+                    t1 = iy * row(1) - oiy
+                    t2 = iy * row(5) - oiy
+                    ny = jnp.minimum(t1, t2); fy = jnp.maximum(t1, t2)
+                    t1 = iz * row(2) - oiz
+                    t2 = iz * row(6) - oiz
+                    nz = jnp.minimum(t1, t2); fz = jnp.maximum(t1, t2)
+                    entry = jnp.maximum(nx, jnp.maximum(ny, nz))
+                    exit_ = jnp.minimum(fx, jnp.minimum(fy, fz))
+                    hit = (entry <= exit_) & (exit_ >= 0.0) & (entry <= thi)
+                    hit_out[p, j, :] = jnp.any(hit, axis=0).astype(jnp.int32)
+                    ent_out[p, j, :] = jnp.min(
+                        jnp.where(hit, entry, jnp.inf), axis=0)
+
+                @pl.when(sup_ref[i * n_chunks + j] == 0)
+                def _(j=j):
+                    hit_out[p, j, :] = jnp.zeros((_SUPER,), jnp.int32)
+                    ent_out[p, j, :] = jnp.full((_SUPER,), jnp.inf,
+                                                jnp.float32)
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            for j in range(n_chunks):
+                hit_out[p, j, :] = jnp.zeros((_SUPER,), jnp.int32)
+                ent_out[p, j, :] = jnp.full((_SUPER,), jnp.inf, jnp.float32)
+
+        return 0
+
+    jax.lax.fori_loop(0, TPB, subtile, 0)
+
+
 def _ray_mask_kernel(act_ref, box_ref, b_ref, hit_out, ent_out,
                      *, tile: int = TILE):
     """Pallas form of the exact per-ray mask: rays on sublanes (TILE per
@@ -206,10 +332,17 @@ def _ray_mask_kernel(act_ref, box_ref, b_ref, hit_out, ent_out,
     jax.lax.fori_loop(0, TPB, subtile, 0)
 
 
-def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int):
+def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int,
+                          interpret: bool = False):
     """Pallas dispatch of the exact mask (TPU path of ray_cluster_mask).
     Bitwise-identical masks to the pure-jnp form (same clamped-reciprocal
-    FMA math; equality pinned per wave in exp_mask_kernel.py)."""
+    FMA math; equality pinned per wave in exp_mask_kernel.py).
+
+    Above _SUPER_MIN_CPAD cluster columns the HIERARCHICAL kernel runs
+    instead: a coarse supercluster pass (the cheap jnp mask over C/128
+    union boxes) gates each 128-cluster chunk of the fine kernel, so
+    per-tile mask work stops scaling O(C) (VERDICT round-3 item 5).
+    ``interpret=True`` forces the Pallas interpreter (CPU kernel tests)."""
     r = dirs.shape[0]
     nt = r // tile
     if r % tile or nt % TPB:
@@ -236,6 +369,41 @@ def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int):
     box = box.at[4:7, :c].set(cmax.T)
     bundle = jnp.concatenate([
         oi.T, thi[None], inv.T, jnp.zeros((1, r), jnp.float32)])
+    hier = cpad > _SUPER_MIN_CPAD
+    if hier:
+        n_chunks = cpad // _SUPER
+        smin, smax = _super_boxes(cmin, cmax, cpad)
+        sup_hit, _ = _ray_mask_jnp(origin, dirs, active, smin, smax,
+                                   t_hi, tile)
+        sup = sup_hit.astype(jnp.int32).reshape(nt * n_chunks)
+        kernel = functools.partial(_ray_mask_kernel_hier, tile=tile,
+                                   n_chunks=n_chunks)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt // TPB,),
+            in_specs=[
+                pl.BlockSpec((8, cpad), lambda i, *_: (0, 0)),
+                pl.BlockSpec((8, TPB * tile), lambda i, *_: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TPB, n_chunks, _SUPER),
+                             lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((TPB, n_chunks, _SUPER),
+                             lambda i, *_: (i, 0, 0)),
+            ],
+        )
+        hit, ent = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nt, n_chunks, _SUPER), jnp.int32),
+                jax.ShapeDtypeStruct((nt, n_chunks, _SUPER), jnp.float32),
+            ],
+            interpret=interpret,
+        )(act, sup, box, bundle)
+        hit = hit.reshape(nt, cpad)
+        ent = ent.reshape(nt, cpad)
+        return hit[:, :c] != 0, ent[:, :c]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt // TPB,),
@@ -255,6 +423,7 @@ def _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax, t_hi, tile: int):
             jax.ShapeDtypeStruct((nt, cpad), jnp.int32),
             jax.ShapeDtypeStruct((nt, cpad), jnp.float32),
         ],
+        interpret=interpret,
     )(act, box, bundle)
     return hit[:, :c] != 0, ent[:, :c]
 
@@ -291,31 +460,7 @@ def ray_cluster_mask(origin, dirs, active, cmin, cmax, t_hi, tile: int):
     if not _interpret():
         return _ray_cluster_mask_tpu(origin, dirs, active, cmin, cmax,
                                      t_hi, tile)
-    r = dirs.shape[0]
-    nt = r // tile
-    o = origin.reshape(nt, tile, 1, 3)
-    d = dirs.reshape(nt, tile, 1, 3)
-    # clamped to the finite sentinel so denormal-tiny components cannot
-    # produce an infinite reciprocal (inf*c - inf*o would be NaN)
-    inv = jnp.where(
-        d != 0.0,
-        jnp.clip(1.0 / jnp.where(d != 0.0, d, 1.0), -_BIG, _BIG),
-        _BIG,
-    )
-    oi = o * inv                            # per-ray, hoisted out of C
-    t1 = cmin[None, None] * inv - oi        # (nt, tile, C, 3): 1 FMA/pair
-    t2 = cmax[None, None] * inv - oi
-    near = jnp.minimum(t1, t2)
-    far = jnp.maximum(t1, t2)
-    entry = near.max(-1)                    # (nt, tile, C)
-    exit_ = far.min(-1)
-    hit = (entry <= exit_) & (exit_ >= 0.0)
-    if t_hi is not None:
-        hit &= entry <= t_hi.reshape(nt, tile, 1)
-    if active is not None:
-        hit &= active.reshape(nt, tile, 1)
-    e = jnp.where(hit, entry, jnp.inf).min(1)
-    return hit.any(1), e
+    return _ray_mask_jnp(origin, dirs, active, cmin, cmax, t_hi, tile)
 
 
 def _compact(hit, entry, max_list: int):
@@ -1382,6 +1527,84 @@ def _merge_small_spheres(cset: ClusterSet, origin, dirs, t_k, slot_k):
     return jnp.where(upd, tj, t_k), slot
 
 
+# The visit kernels keep tri_dat fully VMEM-resident (BlockSpec (12, Pt)
+# whole-array): at 12 floats/slot that is 6 MB per 128k slots against
+# ~16 MB of VMEM/core.  Scenes beyond SEG_SLOTS triangle slots run the
+# kernel once per 128k-slot CLUSTER-AXIS SEGMENT (shortlist columns
+# sliced per segment, results min-merged), so scene size is bounded by
+# HBM, not VMEM.  Tie semantics across segments: strict-< keeps the
+# EARLIER segment's winner (ascending cluster id), and spheres ride the
+# LAST segment so a tri always keeps an exact-t tie against a sphere —
+# the same rule as the single-pass kernel except for exact float ties
+# between triangles in different segments where the in-kernel
+# front-to-back visit order could have picked differently (no bundled
+# scene is segmented; the regime has no reference golden).
+# Assumes the default non-treelet cluster build (valid tri slots form a
+# prefix, so a segment's real-slot count is clip(n_tri - s0, 0, width)).
+SEG_SLOTS = 128 * 1024
+
+
+def _remap_seg_slot(slot, s0: int, w: int, pt: int):
+    """Segment-local kernel slot -> global slot space ([0, pt) tris,
+    [pt, pt+ps) spheres)."""
+    return jnp.where(
+        slot < 0, MISS, jnp.where(slot < w, slot + s0, slot - w + pt))
+
+
+def _segmented_closest(call, thit, shit, org, dirs, tri_dat, sph_dat,
+                       n_tri: int, n_sph: int, bfc: bool):
+    pt = tri_dat.shape[1]
+    if pt <= SEG_SLOTS:
+        return call(thit, shit, org, dirs, tri_dat, sph_dat, n_tri, n_sph,
+                    bfc)
+    nt, cs = thit[0].shape[0], shit[0].shape[1]
+    empty_sh = _empty_shit(nt, cs)
+    segs = list(range(0, pt, SEG_SLOTS))
+    best_t = best_slot = None
+    for si, s0 in enumerate(segs):
+        s1 = min(s0 + SEG_SLOTS, pt)
+        last = si == len(segs) - 1
+        th = (thit[0][:, s0 // CLUSTER: s1 // CLUSTER],
+              thit[1][:, s0 // CLUSTER: s1 // CLUSTER])
+        t, slot = call(th, shit if last else empty_sh, org, dirs,
+                       tri_dat[:, s0:s1], sph_dat,
+                       int(np.clip(n_tri - s0, 0, s1 - s0)),
+                       n_sph if last else 0, bfc)
+        slot = _remap_seg_slot(slot, s0, s1 - s0, pt)
+        if best_slot is None:
+            best_t, best_slot = t, slot
+        else:
+            tv_new = jnp.where(slot >= 0, t, jnp.inf)
+            tv_best = jnp.where(best_slot >= 0, best_t, jnp.inf)
+            upd = tv_new < tv_best
+            best_t = jnp.where(upd, t, best_t)
+            best_slot = jnp.where(upd, slot, best_slot)
+    return best_t, best_slot
+
+
+def _segmented_any(thit, shit, origin, dirs, t_max_col, tri_dat, sph_dat,
+                   n_tri: int, n_sph: int, bfc: bool):
+    pt = tri_dat.shape[1]
+    if pt <= SEG_SLOTS:
+        return _cluster_any_call(thit, shit, origin, dirs, t_max_col,
+                                 tri_dat, sph_dat, n_tri, n_sph, bfc)
+    nt, cs = thit[0].shape[0], shit[0].shape[1]
+    empty_sh = _empty_shit(nt, cs)
+    segs = list(range(0, pt, SEG_SLOTS))
+    occ = None
+    for si, s0 in enumerate(segs):
+        s1 = min(s0 + SEG_SLOTS, pt)
+        last = si == len(segs) - 1
+        th = (thit[0][:, s0 // CLUSTER: s1 // CLUSTER],
+              thit[1][:, s0 // CLUSTER: s1 // CLUSTER])
+        o = _cluster_any_call(th, shit if last else empty_sh, origin, dirs,
+                              t_max_col, tri_dat[:, s0:s1], sph_dat,
+                              int(np.clip(n_tri - s0, 0, s1 - s0)),
+                              n_sph if last else 0, bfc)
+        occ = o if occ is None else (occ | o)
+    return occ
+
+
 def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
                     active=None, bfc: bool = False):
     """Closest hit over the tiled wavefront. Returns global prim ids (R,)."""
@@ -1390,9 +1613,9 @@ def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
     dirs = jax.lax.stop_gradient(dirs)
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
     thit, shit = _cluster_masks(cset, origin, dirs, active, None)
-    t, slot = _cluster_closest_call(
-        thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
-        cset.n_tri, cset.n_sph, bfc,
+    t, slot = _segmented_closest(
+        _cluster_closest_call, thit, shit, origin, dirs,
+        cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
     )
     if 0 < cset.n_sph <= SMALL_SPH:
         _, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
@@ -1433,14 +1656,14 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
     thit, shit = _cluster_masks(cset, origin, dirs, active, None,
                                 mask_fn=mask_fn)
     if shared:
-        t, slot = _cluster_closest_call_shared(
-            thit, shit, org1, dirs, cset.tri_dat, cset.sph_dat,
-            cset.n_tri, cset.n_sph, bfc,
+        t, slot = _segmented_closest(
+            _cluster_closest_call_shared, thit, shit, org1, dirs,
+            cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
         )
     else:
-        t, slot = _cluster_closest_call(
-            thit, shit, origin, dirs, cset.tri_dat, cset.sph_dat,
-            cset.n_tri, cset.n_sph, bfc,
+        t, slot = _segmented_closest(
+            _cluster_closest_call, thit, shit, origin, dirs,
+            cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
         )
     if 0 < cset.n_sph <= SMALL_SPH:
         t, slot = _merge_small_spheres(cset, origin, dirs, t, slot)
@@ -1481,7 +1704,7 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     t_max = jax.lax.stop_gradient(t_max)
     r, origin, dirs, active, t_max = _pad_rays(origin, dirs, active, t_max)
     thit, shit = _cluster_masks(cset, origin, dirs, active, t_max)
-    occ = _cluster_any_call(
+    occ = _segmented_any(
         thit, shit, origin, dirs, t_max[:, None],
         cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
     )

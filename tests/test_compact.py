@@ -22,13 +22,18 @@ from raytracer_tpu.models import whitted
 
 @pytest.mark.parametrize("scene", ["marbles", "mirror_spheres"])
 def test_compaction_bitwise(reference_inputs, scene):
+    """Force the sort to fire at EVERY eligible bounce (scatter threshold
+    -1) and compare against compaction disabled entirely — the render
+    must be bitwise identical regardless of how often the runtime gate
+    fires in production."""
     data, meta = load_scene(f"{reference_inputs}/{scene}.xml")
     assert meta.max_depth >= whitted._COMPACT_MIN_DEPTH  # policy applies
     cset = build_clusters(data, meta, build_bvh(data, meta))
     cam = dataclasses.replace(meta.cameras[0], width=64, height=64)
-    saved = whitted._COMPACT_MIN_DEPTH
+    saved = (whitted._COMPACT_MIN_DEPTH, whitted._COMPACT_SCATTER)
     try:
         whitted._COMPACT_MIN_DEPTH = 3
+        whitted._COMPACT_SCATTER = -1.0  # always-sort once depth >= 2
         whitted._render_camera_jit.clear_cache()
         on = np.asarray(
             whitted.render_camera(data, meta, cam, bvh=cset, engine="cluster"))
@@ -37,7 +42,7 @@ def test_compaction_bitwise(reference_inputs, scene):
         off = np.asarray(
             whitted.render_camera(data, meta, cam, bvh=cset, engine="cluster"))
     finally:
-        whitted._COMPACT_MIN_DEPTH = saved
+        whitted._COMPACT_MIN_DEPTH, whitted._COMPACT_SCATTER = saved
         whitted._render_camera_jit.clear_cache()
     assert np.array_equal(on, off)
 
