@@ -103,6 +103,7 @@ def render_rays(
     engine: str = "brute",
     differentiable: bool = False,
     bfc: bool = False,
+    relaxed: bool = False,
 ):
     """Trace a wavefront of rays to radiance.
 
@@ -115,6 +116,11 @@ def render_rays(
         the cluster engine's fast kernel-side hit info is used directly.
       bfc: cull backfacing triangles (TA outputs/ semantics; the
         reference code never culls — see ops.intersect.tri_intersect).
+      relaxed: --relaxed-parity mode (cluster engine only): sphere
+        occlusion via sqrt/div-free sign tests — algebraically identical
+        acceptance, but grazing/tangent pairs can flip under f32
+        rounding (ops.cluster_trace._sph_cluster_occluded_relaxed).
+        Default off: bitwise-unchanged output.
     Returns:
       (R, 3) float32 radiance (pre-quantization).
     """
@@ -149,7 +155,7 @@ def render_rays(
 
             def shadow_fn(org, sdir, mask, l):
                 return cluster_shadow(bvh, planes[l], org, sdir, lp_all[l],
-                                      active=mask)
+                                      active=mask, relaxed=relaxed)
 
             # multi-light scenes: all lights' occlusions in ONE kernel
             # launch per bounce (shared grid walk + ray relayout; every
@@ -158,7 +164,8 @@ def render_rays(
                     * bvh.tri_verts.shape[1] * 64 <= SHADOW_PLANES_BYTES_MAX):
                 def shadow_multi_fn(org, masks):
                     return cluster_shadow_multi(
-                        bvh, planes, org, lp_all[: meta.n_lights], masks)
+                        bvh, planes, org, lp_all[: meta.n_lights], masks,
+                        relaxed=relaxed)
 
     # per-bounce active-lane compaction for deep scattered wavefronts
     # (see _compact_carry; fires at runtime only when the wave measures
@@ -207,7 +214,8 @@ def render_rays(
 
         def occluded(org, sdir, t_max, mask):
             return traverse.any_hit(
-                data, org, sdir, t_max, bvh, engine, active=mask, bfc=bfc
+                data, org, sdir, t_max, bvh, engine, active=mask, bfc=bfc,
+                relaxed=relaxed,
             )
         if not fast_hits:
             h = refine_hit(data, meta, cur_org, cur_dir, prim)
@@ -270,17 +278,20 @@ def render_rays(
     return color
 
 
-@partial(jax.jit, static_argnames=("meta", "engine", "differentiable", "bfc"))
+@partial(jax.jit, static_argnames=("meta", "engine", "differentiable",
+                                   "bfc", "relaxed"))
 def _render_rays_jit(data, meta, origin, dirs, bvh, engine,
-                     differentiable=False, bfc=False):
+                     differentiable=False, bfc=False, relaxed=False):
     return render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
-                       differentiable=differentiable, bfc=bfc)
+                       differentiable=differentiable, bfc=bfc,
+                       relaxed=relaxed)
 
 
 @partial(jax.jit,
-         static_argnames=("meta", "h", "w", "engine", "bfc", "blocks"))
+         static_argnames=("meta", "h", "w", "engine", "bfc", "blocks",
+                          "relaxed"))
 def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
-                       bfc=False, blocks=None):
+                       bfc=False, blocks=None, relaxed=False):
     """Whole-frame pipeline in ONE dispatch: eye rays, tile permutation,
     trace, inverse permutation, reshape.  Camera parameters are TRACED
     (packed in cam_vec) so all cameras sharing a resolution share one
@@ -293,17 +304,17 @@ def _render_camera_jit(data, meta, cam_vec, h, w, perm, inv, bvh, engine,
     origin, dirs = eye_rays_from(cam_vec, w, h)
     dirs = apply_tile_order(dirs, h, w, blocks, perm)
     color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
-                        bfc=bfc)
+                        bfc=bfc, relaxed=relaxed)
     color = undo_tile_order(color, h, w, blocks, inv)
     return color.reshape(h, w, 3)
 
 
 @partial(jax.jit, static_argnames=(
     "meta", "h", "w", "band_h", "engine", "bfc", "ssaa", "ssaa_mode",
-    "blocks", "hdr", "mesh"))
+    "blocks", "hdr", "mesh", "relaxed"))
 def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
                      bvh, engine, bfc, ssaa, ssaa_mode, blocks=None,
-                     hdr=False, seed=None, mesh=None):
+                     hdr=False, seed=None, mesh=None, relaxed=False):
     """One streamed row band: eye rays for rows [row0, row0+band_h) at the
     SSAA-scaled resolution, traced, SSAA-reduced, quantized to uint8
     (``hdr=True`` skips quantization and returns float32 linear radiance
@@ -336,7 +347,7 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     dirs = apply_tile_order(dirs, band_h, w, blocks, perm)
     if mesh is None or mesh.size == 1:
         color = render_rays(data, meta, origin, dirs, bvh=bvh, engine=engine,
-                            bfc=bfc)
+                            bfc=bfc, relaxed=relaxed)
     else:
         from jax.sharding import PartitionSpec as P
 
@@ -344,7 +355,7 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
 
         def local(dat, bv, org, dd):
             return render_rays(dat, meta, org, dd, bvh=bv, engine=engine,
-                               bfc=bfc)
+                               bfc=bfc, relaxed=relaxed)
 
         color = jax.shard_map(
             local, mesh=mesh,
@@ -385,6 +396,7 @@ def render_camera_streamed(
     hdr: bool = False,
     seed: int = 0,
     mesh=None,
+    relaxed: bool = False,
 ):
     """Render one camera to a final-resolution (H, W, 3) uint8 image by
     streaming ROW BANDS of the SSAA-scaled frame through the device
@@ -443,7 +455,7 @@ def render_camera_streamed(
         bands.append(_render_band_jit(
             data, meta, cam_vec, hs, ws, jnp.float32(row0), bh, p, i,
             bvh, engine, bfc, ssaa, ssaa_mode, blocks=blocks, hdr=hdr,
-            seed=jnp.uint32(seed), mesh=mesh,
+            seed=jnp.uint32(seed), mesh=mesh, relaxed=relaxed,
         ))
         row0 += bh
     out = jnp.concatenate(bands, axis=0)
@@ -458,6 +470,7 @@ def render_camera(
     engine: str = "auto",
     chunk: int = 1 << 22,
     bfc: bool = False,
+    relaxed: bool = False,
 ):
     """Render one camera to an (H, W, 3) float32 radiance image.
 
@@ -499,6 +512,7 @@ def render_camera(
         return _render_camera_jit(
             data, meta, jnp.asarray(camera_vectors(cam)), cam.height,
             cam.width, perm_d, inv_d, bvh, engine, bfc, blocks=blocks,
+            relaxed=relaxed,
         )
     # chunked fallback for frames beyond the per-dispatch ray budget
     origin, dirs = eye_rays(cam)
@@ -519,7 +533,7 @@ def render_camera(
     for s in range(0, r + pad, chunk):
         outs.append(
             _render_rays_jit(data, meta, origin, dirs[s : s + chunk], bvh,
-                             engine, bfc=bfc)
+                             engine, bfc=bfc, relaxed=relaxed)
         )
     color = jnp.concatenate(outs, axis=0)[:r]
     color = undo_tile_order(

@@ -543,6 +543,32 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
     return t1, ok
 
 
+def _sph_cluster_occluded_relaxed(sph_ref, s, ox, oy, oz, dx, dy, dz, tmax):
+    """sqrt/div-FREE sphere any-hit: sign tests algebraically equivalent
+    to ``ok & (t1 < tmax)`` of _sph_cluster_test (a_q > 0):
+
+        t2 >= 0       <=>  b <= 0  or  c <= 0
+        t1 < tmax     <=>  u > 0   or  disc > u^2,   u = 2*a*tmax + b
+
+    Saves the per-pair sqrt + 2 divisions (the transcendental-unit ops
+    in the sphere shadow body).  NOT bitwise against the root form —
+    grazing/tangent pairs (disc ~ 0 or u ~ 0) can flip under f32
+    rounding, the exact class the light-side shadow reversal was
+    rejected for (ROADMAP round-2) — hence opt-in via --relaxed-parity
+    and default-off everywhere."""
+    row = lambda j: sph_ref[j, pl.ds(s, CLUSTER)][None, :]
+    cx, cy, cz, rad = row(0), row(1), row(2), row(3)
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a_q = dx * dx + dy * dy + dz * dz
+    b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    u = 2.0 * a_q * tmax + b_q
+    return ((rad > 0.0) & (disc >= 0.0)
+            & ((b_q <= 0.0) | (c_q <= 0.0))
+            & ((u > 0.0) | (disc > u * u)))
+
+
 def _load_rays(b_ref, p):
     """Load subtile p's ray bundle as (TILE, 1) sublane vectors.
 
@@ -725,7 +751,7 @@ def _any_kernel(
     found_out,
     fnd,
     *, n_tri: int, n_sph: int, ct: int, cs: int, pt: int, wt: int, ws: int,
-    bfc: bool = False,
+    bfc: bool = False, relaxed: bool = False,
 ):
     base = pl.program_id(0) * TPB
 
@@ -761,8 +787,13 @@ def _any_kernel(
             # hint Mosaic must assume arbitrary alignment and pay a
             # dynamic relayout per row load
             s = pl.multiple_of(k * CLUSTER, CLUSTER)
-            t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph)
-            hit = ok & (t < tmax)
+            if relaxed:
+                hit = _sph_cluster_occluded_relaxed(
+                    sph_ref, s, ox, oy, oz, dx, dy, dz, tmax)
+            else:
+                t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz,
+                                          n_sph)
+                hit = ok & (t < tmax)
             fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
         def not_all_found():
@@ -860,7 +891,7 @@ def _shadow_kernel(
     found_out,
     fnd, acc,
     *, n_sph: int, ct: int, cs: int, wt: int, ws: int,
-    early_exit: bool = True,
+    early_exit: bool = True, relaxed: bool = False,
 ):
     """Any-hit over fixed-light segments: 4-plane sign test per triangle
     pair, evaluated at the ray ORIGIN only (origins are the sole per-ray
@@ -922,9 +953,13 @@ def _shadow_kernel(
             # dynamic relayout per row load
             s = pl.multiple_of(k * CLUSTER, CLUSTER)
             dx, dy, dz = lp_ref[0] - ox, lp_ref[1] - oy, lp_ref[2] - oz
-            t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz,
-                                      n_sph)
-            hit = ok & (t < 1.0)
+            if relaxed:
+                hit = _sph_cluster_occluded_relaxed(
+                    sph_ref, s, ox, oy, oz, dx, dy, dz, 1.0)
+            else:
+                t, ok = _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz,
+                                          n_sph)
+                hit = ok & (t < 1.0)
             fnd[:] = fnd[:] | jnp.any(hit, axis=1, keepdims=True).astype(
                 jnp.int32)
 
@@ -942,9 +977,11 @@ def _shadow_kernel(
     jax.lax.fori_loop(0, TPB, subtile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sph", "early_exit"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_sph", "early_exit", "relaxed"))
 def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
-                         n_sph: int, early_exit: bool = True):
+                         n_sph: int, early_exit: bool = True,
+                         relaxed: bool = False):
     r = origin.shape[0]
     nt = r // TILE
     if nt > MAX_NT:
@@ -954,7 +991,7 @@ def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
             outs.append(_cluster_shadow_call(
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], planes, lp, sph_dat, n_sph,
-                early_exit,
+                early_exit, relaxed,
             ))
         return jnp.concatenate(outs)
     pt = planes.shape[1]
@@ -965,7 +1002,7 @@ def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _shadow_kernel, n_sph=n_sph, ct=ct, cs=cs, wt=wt, ws=ws,
-        early_exit=early_exit,
+        early_exit=early_exit, relaxed=relaxed,
     )
     bundle = jnp.concatenate([origin.T, jnp.zeros((1, r), jnp.float32)])
     blk = TPB * TILE
@@ -993,7 +1030,8 @@ def _cluster_shadow_call(thit, shit, origin, planes, lp, sph_dat,
 
 
 def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
-                      ws: int, n_lights: int, early_exit: bool = True):
+                      ws: int, n_lights: int, early_exit: bool = True,
+                      relaxed: bool = False):
     """Multi-light variant of _shadow_kernel: ONE grid pass visits every
     light's shortlist per subtile, sharing the ray-origin relayout and
     the per-program fixed cost (~2 ms/call at zero visits).  Per-light
@@ -1058,9 +1096,13 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
                 dx = lp_ref[3 * l + 0] - ox
                 dy = lp_ref[3 * l + 1] - oy
                 dz = lp_ref[3 * l + 2] - oz
-                t, ok = _sph_cluster_test(sph_ref, sk, ox, oy, oz,
-                                          dx, dy, dz, n_sph)
-                hit = ok & (t < 1.0)
+                if relaxed:
+                    hit = _sph_cluster_occluded_relaxed(
+                        sph_ref, sk, ox, oy, oz, dx, dy, dz, 1.0)
+                else:
+                    t, ok = _sph_cluster_test(sph_ref, sk, ox, oy, oz,
+                                              dx, dy, dz, n_sph)
+                    hit = ok & (t < 1.0)
                 fnd[:] = fnd[:] | (jnp.any(hit, axis=1,
                                            keepdims=True).astype(jnp.int32)
                                    * bit)
@@ -1080,10 +1122,12 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_sph", "n_lights", "early_exit"))
+                   static_argnames=("n_sph", "n_lights", "early_exit",
+                                    "relaxed"))
 def _cluster_shadow_call_ml(thits, shits, origin, planes, lps, sph_dat,
                             n_sph: int, n_lights: int,
-                            early_exit: bool = True):
+                            early_exit: bool = True,
+                            relaxed: bool = False):
     """ONE kernel launch for all n_lights shadow tests of a wavefront.
     thits/shits: per-light tuples of (hit, entry); planes: list of
     per-light (16, Pt) tables; lps: (3*n_lights,) positions.
@@ -1103,7 +1147,7 @@ def _cluster_shadow_call_ml(thits, shits, origin, planes, lps, sph_dat,
                 tuple((th[0][s:e], th[1][s:e]) for th in thits),
                 tuple((sh[0][s:e], sh[1][s:e]) for sh in shits),
                 origin[s * TILE : e * TILE], planes, lps, sph_dat,
-                n_sph, nl, early_exit,
+                n_sph, nl, early_exit, relaxed,
             ))
         return jnp.concatenate(outs)
     pt = planes[0].shape[1]
@@ -1119,7 +1163,7 @@ def _cluster_shadow_call_ml(thits, shits, origin, planes, lps, sph_dat,
     prefetch.append(lps)
     kernel = functools.partial(
         _shadow_kernel_ml, n_sph=n_sph, ct=ct, cs=cs, wt=wt, ws=ws,
-        n_lights=nl, early_exit=early_exit,
+        n_lights=nl, early_exit=early_exit, relaxed=relaxed,
     )
     bundle = jnp.concatenate([origin.T, jnp.zeros((1, r), jnp.float32)])
     blk = TPB * TILE
@@ -1146,7 +1190,8 @@ def _cluster_shadow_call_ml(thits, shits, origin, planes, lps, sph_dat,
     return found.reshape(r)
 
 
-def _small_sphere_test_multi(cset: ClusterSet, origin, lps):
+def _small_sphere_test_multi(cset: ClusterSet, origin, lps,
+                             relaxed: bool = False):
     """Dense small-sphere occlusion for ALL lights at once: (R, L) bool
     of any accepted hit with t < 1 on the segment origin -> light l.
     Shares the light-independent terms (o - c, |o - c|^2 - r^2) across
@@ -1168,6 +1213,13 @@ def _small_sphere_test_multi(cset: ClusterSet, origin, lps):
         a_q = dx * dx + dy * dy + dz * dz
         b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
         disc = b_q * b_q - 4.0 * a_q * c_q
+        if relaxed:  # same sign tests as _sph_cluster_occluded_relaxed
+            u = 2.0 * a_q + b_q  # tmax = 1
+            occ.append(jnp.any(
+                (rad > 0.0) & (disc >= 0.0)
+                & ((b_q <= 0.0) | (c_q <= 0.0))
+                & ((u > 0.0) | (disc > u * u)), axis=1))
+            continue
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = (-b_q - sq) / (2.0 * a_q)
         t2 = (-b_q + sq) / (2.0 * a_q)
@@ -1177,7 +1229,8 @@ def _small_sphere_test_multi(cset: ClusterSet, origin, lps):
 
 
 def cluster_shadow_multi(cset: ClusterSet, planes_list, origin, light_pos,
-                         active_per_light, early_exit: bool = True):
+                         active_per_light, early_exit: bool = True,
+                         relaxed: bool = False):
     """Occlusion of origin -> light segments for ALL lights in ONE
     kernel launch.  light_pos: (L, 3); active_per_light: (R, L) bool
     (per-light consumed-lanes masks — the shadow-relevance gate differs
@@ -1202,16 +1255,18 @@ def cluster_shadow_multi(cset: ClusterSet, planes_list, origin, light_pos,
         shits.append(sh)
     found = _cluster_shadow_call_ml(
         tuple(thits), tuple(shits), origin, planes_list, lp,
-        cset.sph_dat, cset.n_sph, nl, early_exit,
+        cset.sph_dat, cset.n_sph, nl, early_exit, relaxed,
     )
     occ = jnp.stack([(found >> l) & 1 for l in range(nl)], axis=1) != 0
     if 0 < cset.n_sph <= SMALL_SPH:
-        occ = occ | _small_sphere_test_multi(cset, origin, lp)
+        occ = occ | _small_sphere_test_multi(cset, origin, lp,
+                                             relaxed=relaxed)
     return occ[:r0]
 
 
 def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
-                   active=None, early_exit: bool = True):
+                   active=None, early_exit: bool = True,
+                   relaxed: bool = False):
     """Occlusion of segments origin -> light (t < 1) for ONE point light.
 
     ``dirs`` must be the unnormalized segment light_pos - origin (used for
@@ -1230,11 +1285,11 @@ def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
     ones = jnp.ones((origin.shape[0],), jnp.float32)
     thit, shit = _cluster_masks(cset, origin, dirs, active, ones)
     occ = _cluster_shadow_call(
-        thit, shit, origin, planes, lp, cset.sph_dat, cset.n_sph, early_exit
+        thit, shit, origin, planes, lp, cset.sph_dat, cset.n_sph,
+        early_exit, relaxed,
     )
     if 0 < cset.n_sph <= SMALL_SPH:
-        t_s, ok = _small_sphere_test(cset, origin, dirs)
-        occ = occ | jnp.any(ok & (t_s < 1.0), axis=1)
+        occ = occ | _small_sphere_occluded(cset, origin, dirs, 1.0, relaxed)
     return occ[:r]
 
 
@@ -1390,9 +1445,11 @@ def _cluster_closest_call_shared(thit, shit, org, dirs, tri_dat, sph_dat,
     return bt.reshape(r), bs.reshape(r)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph", "bfc"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_tri", "n_sph", "bfc", "relaxed"))
 def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
-                      n_tri: int, n_sph: int, bfc: bool = False):
+                      n_tri: int, n_sph: int, bfc: bool = False,
+                      relaxed: bool = False):
     r = dirs.shape[0]
     nt = r // TILE
     if nt > MAX_NT:
@@ -1403,7 +1460,7 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
                 (thit[0][s:e], thit[1][s:e]), (shit[0][s:e], shit[1][s:e]),
                 origin[s * TILE : e * TILE], dirs[s * TILE : e * TILE],
                 t_max[s * TILE : e * TILE], tri_dat, sph_dat, n_tri, n_sph,
-                bfc,
+                bfc, relaxed,
             ))
         return jnp.concatenate(outs)
     r, nt, pt, ct, ps, cs = _common_dims(dirs, tri_dat, sph_dat)
@@ -1412,7 +1469,7 @@ def _cluster_any_call(thit, shit, origin, dirs, t_max, tri_dat, sph_dat,
     wt, ws = tw.shape[0] // nt, sw.shape[0] // nt
     kernel = functools.partial(
         _any_kernel, n_tri=n_tri, n_sph=n_sph, ct=ct, cs=cs, pt=pt,
-        wt=wt, ws=ws, bfc=bfc,
+        wt=wt, ws=ws, bfc=bfc, relaxed=relaxed,
     )
     bundle = jnp.concatenate([
         origin.T, t_max.reshape(1, r),
@@ -1506,6 +1563,31 @@ def _small_sphere_test(cset: ClusterSet, origin, dirs):
     return t1, ok
 
 
+def _small_sphere_occluded(cset: ClusterSet, origin, dirs, t_max, relaxed):
+    """Dense (R, n_sph) sphere occlusion: root form by default, the
+    sqrt/div-free sign tests under --relaxed-parity (see
+    _sph_cluster_occluded_relaxed; same acceptance algebra)."""
+    if not relaxed:
+        t_s, ok = _small_sphere_test(cset, origin, dirs)
+        return jnp.any(ok & (t_s < t_max), axis=1)
+    n = cset.n_sph
+    cx = cset.sph_dat[0, :n][None]
+    cy = cset.sph_dat[1, :n][None]
+    cz = cset.sph_dat[2, :n][None]
+    rad = cset.sph_dat[3, :n][None]
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a_q = dx * dx + dy * dy + dz * dz
+    b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    u = 2.0 * a_q * t_max + b_q
+    return jnp.any((rad > 0.0) & (disc >= 0.0)
+                   & ((b_q <= 0.0) | (c_q <= 0.0))
+                   & ((u > 0.0) | (disc > u * u)), axis=1)
+
+
 def _empty_shit(nt: int, cs: int):
     return (jnp.zeros((nt, cs), bool), jnp.full((nt, cs), jnp.inf))
 
@@ -1583,11 +1665,13 @@ def _segmented_closest(call, thit, shit, org, dirs, tri_dat, sph_dat,
 
 
 def _segmented_any(thit, shit, origin, dirs, t_max_col, tri_dat, sph_dat,
-                   n_tri: int, n_sph: int, bfc: bool):
+                   n_tri: int, n_sph: int, bfc: bool,
+                   relaxed: bool = False):
     pt = tri_dat.shape[1]
     if pt <= SEG_SLOTS:
         return _cluster_any_call(thit, shit, origin, dirs, t_max_col,
-                                 tri_dat, sph_dat, n_tri, n_sph, bfc)
+                                 tri_dat, sph_dat, n_tri, n_sph, bfc,
+                                 relaxed)
     nt, cs = thit[0].shape[0], shit[0].shape[1]
     empty_sh = _empty_shit(nt, cs)
     segs = list(range(0, pt, SEG_SLOTS))
@@ -1600,7 +1684,7 @@ def _segmented_any(thit, shit, origin, dirs, t_max_col, tri_dat, sph_dat,
         o = _cluster_any_call(th, shit if last else empty_sh, origin, dirs,
                               t_max_col, tri_dat[:, s0:s1], sph_dat,
                               int(np.clip(n_tri - s0, 0, s1 - s0)),
-                              n_sph if last else 0, bfc)
+                              n_sph if last else 0, bfc, relaxed)
         occ = o if occ is None else (occ | o)
     return occ
 
@@ -1696,7 +1780,7 @@ def cluster_closest_hit(cset: ClusterSet, origin, dirs, shadow_eps: float,
 
 
 def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
-                active=None, bfc: bool = False):
+                active=None, bfc: bool = False, relaxed: bool = False):
     """Shadow any-hit: True where some accepted hit has t < t_max."""
     del data
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
@@ -1706,9 +1790,9 @@ def cluster_any(data: SceneData, cset: ClusterSet, origin, dirs, t_max,
     thit, shit = _cluster_masks(cset, origin, dirs, active, t_max)
     occ = _segmented_any(
         thit, shit, origin, dirs, t_max[:, None],
-        cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc,
+        cset.tri_dat, cset.sph_dat, cset.n_tri, cset.n_sph, bfc, relaxed,
     )
     if 0 < cset.n_sph <= SMALL_SPH:
-        t_s, ok = _small_sphere_test(cset, origin, dirs)
-        occ = occ | jnp.any(ok & (t_s < t_max[:, None]), axis=1)
+        occ = occ | _small_sphere_occluded(cset, origin, dirs,
+                                           t_max[:, None], relaxed)
     return occ[:r]

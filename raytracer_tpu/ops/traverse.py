@@ -271,7 +271,9 @@ def closest_hit(data: SceneData, origin, dirs, accel, engine: str, active=None,
 
 
 def any_hit(data: SceneData, origin, dirs, t_max, accel, engine: str, active=None,
-            bfc: bool = False):
+            bfc: bool = False, relaxed: bool = False):
+    """``relaxed`` (cluster engine only): sqrt/div-free sphere occlusion
+    sign tests (--relaxed-parity; cluster_trace._sph_cluster_occluded_relaxed)."""
     if engine == "bvh":
         assert accel is not None, "bvh engine requires a built BVH"
         return bvh_any(data, accel, origin, dirs, t_max, bfc=bfc)
@@ -279,5 +281,6 @@ def any_hit(data: SceneData, origin, dirs, t_max, accel, engine: str, active=Non
         from raytracer_tpu.ops.cluster_trace import cluster_any
 
         assert accel is not None, "cluster engine requires a built ClusterSet"
-        return cluster_any(data, accel, origin, dirs, t_max, active=active, bfc=bfc)
+        return cluster_any(data, accel, origin, dirs, t_max, active=active,
+                           bfc=bfc, relaxed=relaxed)
     return brute_any(data, origin, dirs, t_max, bfc=bfc)

@@ -41,6 +41,7 @@ def render_one_camera(
     adaptive_extra: Optional[int] = None,
     adaptive_rounds: int = 1,
     mesh=None,
+    relaxed: bool = False,
 ) -> Tuple[np.ndarray, Optional[dict]]:
     """Render one camera to its final-resolution image.
 
@@ -107,13 +108,13 @@ def render_one_camera(
         img = render_camera_streamed(
             data, meta, cam, bvh=accel, engine=engine, chunk=chunk,
             bfc=bfc, ssaa=ssaa, ssaa_mode=ssaa_mode, hdr=want_float,
-            seed=seed, mesh=mesh,
+            seed=seed, mesh=mesh, relaxed=relaxed,
         )
         if want_float and not hdr:
             img = tone_map(img, tone)
     else:
         color = render_camera(data, meta, rcam, bvh=accel, engine=engine,
-                              chunk=chunk, bfc=bfc)
+                              chunk=chunk, bfc=bfc, relaxed=relaxed)
         if want_float:
             img = (downsample_mean(color, ssaa) if ssaa > 1 else color)
             if not hdr:

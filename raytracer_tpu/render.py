@@ -60,6 +60,12 @@ def main(argv=None) -> None:
                          "hardware_concurrency() thread fan-out "
                          "(raytracer.cpp:367-377); an integer uses the "
                          "first N devices (1 = single-device)")
+    ap.add_argument("--relaxed-parity", action="store_true",
+                    help="sqrt/div-free sphere occlusion sign tests in the "
+                         "cluster engine's shadow kernels (algebraically "
+                         "identical acceptance; grazing-sphere pairs may "
+                         "flip isolated shadow bits under f32 rounding). "
+                         "Default off = bitwise reference parity")
     ap.add_argument("--bfc", action="store_true",
                     help="cull backfacing triangles (the TA outputs/ golden "
                          "semantics; the reference code never culls, "
@@ -188,6 +194,7 @@ def main(argv=None) -> None:
                     adaptive_extra=args.adaptive_extra,
                     adaptive_rounds=args.adaptive_rounds,
                     mesh=mesh,
+                    relaxed=args.relaxed_parity,
                 )
                 t3 = time.perf_counter()
                 t_render += t3 - t2
