@@ -16,6 +16,7 @@ Outputs (JSON lines):
      given the measured pairs/ray and ops/pair.
 """
 import sys, os, json, time, glob, functools
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
@@ -31,16 +32,20 @@ from raytracer_tpu.ops import cluster_trace as ct
 TRACE_DIR = "/tmp/northstar_trace"
 
 
-def vpu_probe(chain=512, rows=512, iters=20):
-    """Pure VPU f32 FMA chain: (8*rows, 128) block, `chain` dependent FMAs
-    per element per pass — measures the achievable f32 lane-op issue rate
-    with zero memory traffic (operands stay in vregs)."""
+def vpu_probe(chain=256, streams=8, rows=256, iters=20):
+    """Pure VPU f32 FMA issue-rate probe: (8*rows, 128) block, `streams`
+    INDEPENDENT accumulator chains of `chain` FMAs each (a single
+    dependent chain measures FMA latency, not issue rate) — the
+    achievable f32 lane-op ceiling with zero memory traffic."""
     def kernel(x_ref, o_ref):
         x = x_ref[...]
-        a = x * 1.0000001 + 0.3
+        accs = [x * (1.0 + 1e-7 * k) + 0.3 for k in range(streams)]
         for _ in range(chain - 1):
-            a = a * 1.0000001 + x
-        o_ref[...] = a
+            accs = [a * 1.0000001 + x for a in accs]
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        o_ref[...] = out
 
     x = jnp.ones((8 * rows, 128), jnp.float32)
     f = pl.pallas_call(
@@ -61,7 +66,7 @@ def vpu_probe(chain=512, rows=512, iters=20):
         t0 = time.perf_counter()
         float(many(x))
         best = min(best, time.perf_counter() - t0)
-    lane_ops = 2.0 * chain * x.size * iters  # FMA = mul+add
+    lane_ops = 2.0 * chain * streams * x.size * iters  # FMA = mul+add
     return lane_ops / best
 
 
@@ -83,6 +88,10 @@ def frame_pairs(data, meta, cset, cam):
                                  cam.height)
     perm, _ = block_permutation(cam.height, cam.width, 8, 16)
     dirs = jnp.asarray(dirs)[jnp.asarray(perm)]
+    pad = (-dirs.shape[0]) % (TILE * 8)  # mask path needs tile*TPB
+    if pad:
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))], 0)
     origin0 = jnp.asarray(origin, jnp.float32)
     r = dirs.shape[0]
     eps = meta.shadow_eps
