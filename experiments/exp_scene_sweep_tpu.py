@@ -16,8 +16,9 @@ from raytracer_tpu.models.clusters import build_clusters
 from raytracer_tpu.models.scene import load_scene
 from raytracer_tpu.models.whitted import render_camera
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "r3_scene_sweep.jsonl")
+OUT = (sys.argv[1] if len(sys.argv) > 1 else
+       os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "r3_scene_sweep.jsonl"))
 SCENES = ["simple", "simple_shading", "simple_reflectance", "mirror_spheres",
           "cornellbox", "bunny", "monkey", "low_poly", "berserker",
           "dragon_lowres", "marbles", "car", "horse_and_mug"]

@@ -22,7 +22,12 @@ socket).  Request fields:
      "format": "ppm",                     # ppm | png | exr
      "tone": "none",                      # none|gamma|reinhard|aces (ldr)
      "camera": null,                      # index, or null = all cameras
+     "relaxed_parity": false,             # sqrt/div-free sphere occlusion
      "id": "anything"}                    # echoed back, optional
+
+The server renders on ALL local devices by default (--mesh auto; the
+ray axis of every band is shard_map'ed like the render CLI, output
+bitwise-identical to single-device).
 
 Commands: {"cmd": "ping"} -> {"ok": true, "pong": ...};
 {"cmd": "stats"} -> cache/occupancy info; {"cmd": "shutdown"} ends the
@@ -54,13 +59,23 @@ class RenderServer:
     it directly: ``RenderServer().handle({"scene": ...})``.
     """
 
-    def __init__(self, max_scenes: int = 8):
+    def __init__(self, max_scenes: int = 8, mesh: str = "auto"):
+        import jax
+
         from raytracer_tpu.utils.compile_cache import enable
 
         enable()
         self.max_scenes = max_scenes
         self._scenes = {}  # (path, mtime) -> (data, meta, accel), LRU order
         self.renders = 0
+        # device mesh: like the render CLI, all local chips by default
+        # (the reference's hardware_concurrency() analog)
+        n_mesh = len(jax.devices()) if mesh == "auto" else int(mesh)
+        self.mesh = None
+        if n_mesh > 1:
+            from raytracer_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n=n_mesh)
 
     # -- scene/accel cache ------------------------------------------------
     def _load(self, scene_path: str, engine: str):
@@ -76,12 +91,19 @@ class RenderServer:
             val = self._scenes.pop(key)
             self._scenes[key] = val  # refresh LRU position
             return val
+        sharding = None
+        if self.mesh is not None:
+            from raytracer_tpu.parallel.mesh import replicated
+
+            sharding = replicated(self.mesh)
+        put = (jax.device_put if sharding is None
+               else lambda x: jax.device_put(x, sharding))
         data, meta = load_scene(path)
-        data = jax.device_put(data)
+        data = put(data)
         accel = None
         if engine != "brute":
             bvh = build_bvh(data, meta)
-            accel = jax.device_put(
+            accel = put(
                 bvh if engine == "bvh" else build_clusters(data, meta, bvh)
             )
         self._scenes[key] = (data, meta, accel)
@@ -136,6 +158,8 @@ class RenderServer:
                 adaptive_frac=float(req.get("adaptive_frac", 0.125)),
                 adaptive_extra=req.get("adaptive_extra"),
                 adaptive_rounds=int(req.get("adaptive_rounds", 1)),
+                mesh=self.mesh,
+                relaxed=bool(req.get("relaxed_parity", False)),
             )
             images.append(write_image(out_dir, cam.image_name, img, fmt))
             rcam = cam.scaled(ssaa) if ssaa > 1 else cam
@@ -180,12 +204,15 @@ def main(argv=None) -> None:
                     help="listen on TCP 127.0.0.1:PORT instead of stdin")
     ap.add_argument("--max-scenes", type=int, default=8,
                     help="scene/accel LRU cache capacity")
+    ap.add_argument("--mesh", default="auto", metavar="auto|N",
+                    help="device mesh size: 'auto' (default) shards every "
+                         "render over all local devices (1 = single)")
     ap.add_argument("--warmup", metavar="SCENE", default=None,
                     help="render this scene once at startup (to /tmp) so "
                          "the first request is already compiled")
     args = ap.parse_args(argv)
 
-    server = RenderServer(max_scenes=args.max_scenes)
+    server = RenderServer(max_scenes=args.max_scenes, mesh=args.mesh)
     if args.warmup:
         import tempfile
 

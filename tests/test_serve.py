@@ -116,3 +116,23 @@ def test_adaptive_via_server(server, tmp_path):
                        "adaptive_rounds": 2, "engine": "brute"})
     assert r["ok"], r
     assert r["adaptive"]["rounds"] == 2
+
+
+def test_server_mesh_matches_single_device(reference_inputs, tmp_path):
+    """--mesh auto (the default, 8 devices under conftest) must produce
+    bitwise the same image as a single-device server."""
+    import numpy as np
+
+    from raytracer_tpu.serve import RenderServer
+    from raytracer_tpu.utils.ppm import read_ppm
+
+    req = {"scene": f"{reference_inputs}/simple_shading.xml", "ssaa": 1,
+           "engine": "cluster"}
+    r1 = RenderServer(mesh="1").handle(
+        dict(req, out_dir=str(tmp_path / "one")))
+    rn = RenderServer(mesh="auto").handle(
+        dict(req, out_dir=str(tmp_path / "mesh")))
+    assert r1["ok"] and rn["ok"], (r1, rn)
+    a = read_ppm(str(tmp_path / "one" / "simple_shading.ppm"))
+    b = read_ppm(str(tmp_path / "mesh" / "simple_shading.ppm"))
+    np.testing.assert_array_equal(a, b)
