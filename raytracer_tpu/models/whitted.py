@@ -274,7 +274,15 @@ def render_rays(
         carry = bounce(carry, shared_eye=True)
     _, color, _, _, _, _, idx = jax.lax.while_loop(alive, bounce, carry)
     if compact:
-        color = _uncompact_color(color, idx)
+        # the restore sort costs ~1-2 ms/M rays even when the runtime
+        # gate never fired (idx is then the identity — e.g. no-mirror
+        # scenes whose loop exits at bounce 0); skip it unless some
+        # bounce actually permuted the carry
+        color = jax.lax.cond(
+            jnp.any(idx != jnp.arange(r, dtype=jnp.int32)),
+            lambda c: _uncompact_color(c, idx),
+            lambda c: c,
+            color)
     return color
 
 
