@@ -55,3 +55,35 @@ def test_train_cli_recovers_diffuse(reference_inputs, tmp_path, capsys):
     # residual optimization error only)
     err = np.abs(recovered.astype(int) - target.astype(int))
     assert np.mean(err) < 3.0, np.mean(err)
+
+
+def test_train_cli_batch_mode_exr_target(reference_inputs, tmp_path, capsys):
+    """Minibatch steps (--batch) + a linear-float EXR target (no LDR
+    clamp in the loss) still recover the albedo through the CLI."""
+    import dataclasses
+    import re as _re
+
+    from raytracer_tpu.train import main
+    from raytracer_tpu.utils.exr import write_exr
+
+    data, meta = load_scene(f"{reference_inputs}/simple.xml")
+    cam = dataclasses.replace(meta.cameras[0], width=100, height=100)
+    target = np.asarray(render_camera(data, meta, cam, engine="brute"))
+    tpath = str(tmp_path / "target.exr")
+    write_exr(tpath, target.astype(np.float32))
+
+    xml = open(f"{reference_inputs}/simple.xml").read()
+    xml2 = re.sub(r"<DiffuseReflectance>[^<]*</DiffuseReflectance>",
+                  "<DiffuseReflectance>0.4 0.35 0.3</DiffuseReflectance>",
+                  xml)
+    spath = str(tmp_path / "perturbed.xml")
+    open(spath, "w").write(xml2)
+
+    main([spath, "--target", tpath, "--downscale", "8",
+          "--fields", "mat_diffuse", "--engine", "brute",
+          "--steps", "80", "--lr", "5e-2", "--batch", "2048",
+          "--log-every", "40", "--seed", "3"])
+    text = capsys.readouterr().out
+    losses = [float(m) for m in _re.findall(r"loss (\d+\.\d+)", text)]
+    # minibatch loss is noisy; require an order-of-magnitude drop
+    assert losses[-1] < losses[0] * 0.1, losses
