@@ -125,6 +125,13 @@ def render_one_camera(
                    else quantize(downsample_mean(color, ssaa)))
         else:
             img = quantize(color)
+    if mesh is not None:
+        # multi-process safe fetch: non-addressable shards (true
+        # multi-host meshes) gather via ONE process_allgather; a plain
+        # np.asarray would raise.  Single-process this IS np.asarray.
+        from raytracer_tpu.parallel.distributed import assemble_image
+
+        return assemble_image(img), stats
     return np.asarray(img), stats
 
 

@@ -216,7 +216,12 @@ def main(argv=None) -> None:
                     if adaptive_stats is not None:
                         line["adaptive"] = adaptive_stats
                     print(json.dumps(line))
-                write_image(args.out_dir, cam.image_name, img, args.format)
+                if jax.process_index() == 0:
+                    # single writer, like the reference (ppm.cpp:4-39);
+                    # every process holds the full image after the
+                    # mesh gather
+                    write_image(args.out_dir, cam.image_name, img,
+                                args.format)
     print(f"Rendered in {t_render / args.repeat:.3f} seconds.")
     print(f"Total: {t_render / args.repeat + (t1 - t0):.3f} seconds.")
 

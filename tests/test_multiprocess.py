@@ -64,6 +64,18 @@ _WORKER = textwrap.dedent(
     ref = np.asarray(render_rays(ldata, meta, jnp.asarray(origin),
                                  jnp.asarray(dirs), engine="brute"))
     np.testing.assert_allclose(img, ref, rtol=1e-6, atol=1e-6)
+
+    # round 4: the CLI pipeline path (banded streaming + quantization,
+    # ray axis shard_map'ed, multi-host assemble_image gather) on the
+    # same global mesh, bitwise vs a local single-device render
+    from raytracer_tpu.pipeline import render_one_camera
+
+    cam2 = dataclasses.replace(meta.cameras[0], width=32, height=32)
+    img2, _ = render_one_camera(gdata, meta, cam2, None, engine="brute",
+                                ssaa=1, mesh=mesh)
+    ref2, _ = render_one_camera(ldata, meta, cam2, None, engine="brute",
+                                ssaa=1)
+    np.testing.assert_array_equal(img2, ref2)
     print(f"proc {pid}: ok", flush=True)
     """
 )
