@@ -176,15 +176,31 @@ def main():
     print(json.dumps({"xplane_files": xplanes}), flush=True)
     if xplanes:
         try:
-            from tensorboard_plugin_profile.convert import raw_to_tool_data
-            data_json, _ = raw_to_tool_data.xspace_to_tool_data(
-                xplanes, "framework_op_stats", {})
-            out = os.path.join(TRACE_DIR, "op_stats.json")
-            with open(out, "w") as fh:
-                fh.write(data_json if isinstance(data_json, str)
-                         else data_json.decode())
-            print(json.dumps({"op_stats_written": out}), flush=True)
-        except Exception as e:  # tool name varies by version
+            # parse the raw xplane directly (the tensorboard plugin's
+            # converter API is version-broken in this image); aggregate
+            # per-op device time on the TPU "XLA Ops" line over the 4
+            # captured frames
+            import collections
+
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+            xs = xplane_pb2.XSpace()
+            xs.ParseFromString(open(xplanes[0], "rb").read())
+            tpu = [p for p in xs.planes if p.name == "/device:TPU:0"][0]
+            emeta = {m.id: m.name for m in tpu.event_metadata.values()}
+            for line in tpu.lines:
+                if line.name != "XLA Ops":
+                    continue
+                agg = collections.Counter()
+                for e in line.events:
+                    agg[emeta.get(e.metadata_id, "?")] += e.duration_ps
+                top = [
+                    {"op": name.split(" = ")[0], "ms_per_frame":
+                     round(ps / 1e9 / n, 2)}
+                    for name, ps in agg.most_common(16)
+                ]
+                print(json.dumps({"top_ops": top}), flush=True)
+        except Exception as e:
             print(json.dumps({"op_stats_error": repr(e)}), flush=True)
 
     # 2. VPU speed-of-light probe

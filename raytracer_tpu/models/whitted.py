@@ -55,6 +55,16 @@ from raytracer_tpu.ops.shade import refine_hit, reflection_rays, shade_local
 # lanes); compaction fires only above _COMPACT_SCATTER.  Round-2's
 # "sorted wavefronts lose" verdict is the coherent-scene side of this
 # statistic, now enforced at runtime instead of by a global off-switch.
+#
+# Parity note: re-tiling changes which rays share a tile and therefore
+# the shortlist visit order; per-ray results are identical for every
+# pair that is not an EXACT cross-cluster float-t tie (a masked-out
+# cluster contributes nothing, an extra conservative visit cannot beat
+# the true minimum).  Exact ties could in principle resolve to the
+# other of two equally-near primitives — the same tie class already
+# documented for engine-vs-engine comparisons (test_cluster).  Pinned
+# bitwise on every bundled scene at 64x64 AND by the full-res 28/28
+# reference re-certification; not a theorem.
 _COMPACT_FROM = 2
 _COMPACT_MIN_DEPTH = 3
 _COMPACT_SCATTER = 0.15

@@ -81,10 +81,10 @@ def _tile_pixel_coords(h: int, w: int, bh: int, bw: int):
 
 @partial(jax.jit, static_argnames=(
     "meta", "h", "w", "engine", "bfc", "base_spp", "extra_spp", "k",
-    "tile", "reshape_blocks"))
+    "tile", "reshape_blocks", "relaxed"))
 def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
                   bvh, engine, bfc, base_spp, extra_spp, k, tile,
-                  reshape_blocks):
+                  reshape_blocks, relaxed=False):
     """The whole adaptive render as one traced graph: base wave ->
     [variance -> top-k blocks -> refinement wave] per entry of the
     static tuple ``extra_spp`` (one entry per round) -> merged mean.
@@ -128,7 +128,7 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
         e, dirs = eye_rays_pixels(cam_vec, w, h, rr, cc,
                                   jitter=jit_p.reshape(-1, 2))
         color = render_rays(data, meta, e, dirs, bvh=bvh, engine=engine,
-                            bfc=bfc)
+                            bfc=bfc, relaxed=relaxed)
         color = color.reshape(b, og, sub, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
         return color.reshape(b, spp, npx, 3)
 
@@ -195,6 +195,7 @@ def render_camera_adaptive(
     seed: int = 0,
     bfc: bool = False,
     rounds: int = 1,
+    relaxed: bool = False,
 ):
     """Render one camera adaptively to (H, W, 3) float32 radiance.
 
@@ -256,7 +257,7 @@ def render_camera_adaptive(
         jnp.asarray(rows, jnp.float32), jnp.asarray(cols, jnp.float32),
         None if inv is None else jnp.asarray(inv),
         jax.random.PRNGKey(seed), bvh, engine, bfc, base_spp, per_round,
-        k, tile, reshape_blocks,
+        k, tile, reshape_blocks, relaxed=relaxed,
     )
     r = cam.height * cam.width
     extra_total = k * p_sel * sum(per_round)

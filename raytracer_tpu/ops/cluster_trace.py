@@ -206,7 +206,15 @@ _SUPER_MIN_CPAD = 512
 
 def _super_boxes(cmin, cmax, cpad: int):
     """(S, 3) nan-aware unions of each 128-cluster chunk's boxes (NaN =
-    empty/padding cluster, never hit — matching models.clusters)."""
+    empty/padding cluster, never hit — matching models.clusters).
+
+    The union is DILATED by a relative epsilon: the coarse gate runs as
+    XLA-compiled jnp while the fine test runs under Mosaic, and the two
+    compilers may contract the slab FMA chain differently (observed in
+    interpret mode, tests/test_hier_mask.py).  The bitwise monotonicity
+    argument covers one rounding scheme only; the dilation (~1e-5
+    relative, invisible to tightness) makes coarse-miss => fine-miss
+    robust across compilers and future compiler upgrades."""
     c = cmin.shape[0]
     pad = cpad - c
     cmin_p = jnp.concatenate(
@@ -216,6 +224,10 @@ def _super_boxes(cmin, cmax, cpad: int):
     s = cpad // _SUPER
     smin = jnp.nanmin(cmin_p.reshape(s, _SUPER, 3), axis=1)
     smax = jnp.nanmax(cmax_p.reshape(s, _SUPER, 3), axis=1)
+    eps = jnp.float32(1e-5)
+    tiny = jnp.float32(1e-30)
+    smin = smin - (eps * jnp.abs(smin) + tiny)
+    smax = smax + (eps * jnp.abs(smax) + tiny)
     return smin, smax
 
 

@@ -29,6 +29,15 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, n: Optional[int] =
     return Mesh(np.array(devices), (RAY_AXIS,))
 
 
+def mesh_from_arg(arg: str = "auto") -> Optional[Mesh]:
+    """CLI ``--mesh`` handling shared by the render/serve/train entry
+    points: ``"auto"`` = all local devices, an integer = the first N.
+    Returns None when only one device would be used (callers then take
+    their single-device path)."""
+    n = len(jax.devices()) if arg == "auto" else int(arg)
+    return make_mesh(n=n) if n > 1 else None
+
+
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (ray) axis across the mesh."""
     return NamedSharding(mesh, P(RAY_AXIS))

@@ -54,7 +54,13 @@ def render_one_camera(
     ``mesh``: optional 1-D jax.sharding.Mesh; the trace is sharded over
     its devices with IDENTICAL reduction/quantization semantics (the
     sharded band renderer reuses this pipeline's code paths — see
-    models.whitted._render_band_jit).  Adaptive mode stays single-device
+    models.whitted._render_band_jit).  Deterministic modes (parity/mean)
+    are bitwise-identical to single-device; jitter mode keeps the same
+    estimator but draws per-band sample offsets, and band heights depend
+    on the mesh/chunk configuration — a jittered render is reproducible
+    for a FIXED (seed, chunk, mesh) configuration, not across different
+    ones (true single-device as well: chunk size already sets banding).
+    Adaptive mode stays single-device
     (its per-round refinement wavefronts are data-dependent and small;
     sharding them buys nothing — use jitter mode for multi-chip
     stochastic sampling).
@@ -74,12 +80,19 @@ def render_one_camera(
     want_float = hdr or tone != "none"
     rcam = cam.scaled(ssaa) if ssaa > 1 else cam
     stats = None
-    if mesh is not None and (mesh.size == 1 or ssaa_mode == "adaptive"
-                             or (cam.width * ssaa) % 16):
-        # adaptive stays single-device (docstring); a scaled width that
-        # isn't a multiple of the pixel-tile block would split tile
-        # blocks across shards (no bundled scene; fall back safely)
-        mesh = None
+    if mesh is not None:
+        block_w = 1
+        if engine not in ("brute", "bvh"):  # cluster (or auto -> cluster)
+            from raytracer_tpu.models.whitted import _tile_block_shape
+
+            block_w = _tile_block_shape()[1]
+        if (mesh.size == 1 or ssaa_mode == "adaptive"
+                or (cam.width * ssaa) % block_w):
+            # adaptive stays single-device (docstring); a scaled width
+            # that isn't a multiple of the pixel-tile block would split
+            # the cluster engine's tile blocks across shards (no bundled
+            # scene; brute/bvh have no block constraint)
+            mesh = None
 
     if ssaa_mode == "adaptive":
         from raytracer_tpu.ops.adaptive import render_camera_adaptive
@@ -92,7 +105,7 @@ def render_one_camera(
             extra_spp=(adaptive_extra if adaptive_extra is not None
                        else 3 * base),
             refine_frac=adaptive_frac, bfc=bfc, seed=seed,
-            rounds=adaptive_rounds,
+            rounds=adaptive_rounds, relaxed=relaxed,
         )
         img = (color if hdr
                else tone_map(color, tone) if want_float

@@ -113,14 +113,18 @@ def main(argv=None) -> None:
         jax.profiler.trace(args.profile) if args.profile
         else contextlib.nullcontext()
     )
+    # multi-host bring-up first (env-gated no-op on single machines —
+    # without it a pod run would see only local devices and every
+    # process would write its own output)
+    from raytracer_tpu.parallel.distributed import initialize
+
+    initialize()
     # device mesh: every local chip by default, like the reference's
     # automatic hardware_concurrency() fan-out
-    mesh = None
-    n_mesh = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
-    if n_mesh > 1:
-        from raytracer_tpu.parallel.mesh import make_mesh
+    from raytracer_tpu.parallel.mesh import mesh_from_arg
 
-        mesh = make_mesh(n=n_mesh)
+    mesh = mesh_from_arg(args.mesh)
+    if mesh is not None:
         print(f"Rendering with {mesh.size} devices "
               f"({mesh.devices.flat[0].platform}).")
 

@@ -70,12 +70,10 @@ class RenderServer:
         self.renders = 0
         # device mesh: like the render CLI, all local chips by default
         # (the reference's hardware_concurrency() analog)
-        n_mesh = len(jax.devices()) if mesh == "auto" else int(mesh)
-        self.mesh = None
-        if n_mesh > 1:
-            from raytracer_tpu.parallel.mesh import make_mesh
+        del jax  # devices queried inside mesh_from_arg
+        from raytracer_tpu.parallel.mesh import mesh_from_arg
 
-            self.mesh = make_mesh(n=n_mesh)
+        self.mesh = mesh_from_arg(mesh)
 
     # -- scene/accel cache ------------------------------------------------
     def _load(self, scene_path: str, engine: str):

@@ -98,8 +98,11 @@ def main(argv=None) -> None:
     if bad:
         raise SystemExit(f"unknown fields {bad}; choose from {PARAM_FIELDS}")
 
-    n_mesh = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
-    mesh = make_mesh(n=max(n_mesh, 1))
+    from raytracer_tpu.parallel.distributed import initialize
+    from raytracer_tpu.parallel.mesh import mesh_from_arg
+
+    initialize()  # env-gated no-op off-pod
+    mesh = mesh_from_arg(args.mesh) or make_mesh(n=1)
     print(f"Training on {mesh.size} device(s), fields={list(fields)}")
 
     data, meta = load_scene(args.scene)
@@ -128,9 +131,21 @@ def main(argv=None) -> None:
     target_all = target.reshape(-1, 3)
     r_total = dirs_all.shape[0]
 
-    batch = args.batch if args.batch > 0 else r_total
-    batch -= batch % mesh.size
-    batch = max(batch, mesh.size)
+    if args.batch > 0:
+        batch = max(args.batch - args.batch % mesh.size, mesh.size)
+    else:
+        # whole-frame mode: trim the non-divisible tail ONCE (a fixed
+        # subset, uploaded once) instead of silently degrading to a
+        # fresh random near-full minibatch with a per-step host->device
+        # upload
+        drop = r_total % mesh.size
+        if drop:
+            print(f"note: dropping {drop} of {r_total} rays so the "
+                  f"frame divides the {mesh.size}-device mesh")
+            dirs_all = dirs_all[: r_total - drop]
+            target_all = target_all[: r_total - drop]
+            r_total -= drop
+        batch = r_total
 
     data = jax.device_put(data, replicated(mesh))
     if accel is not None:
