@@ -555,6 +555,47 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
     return t1, ok
 
 
+# Shadow kernels: when the scene's WHOLE sphere table spans at most this
+# many 128-slot cluster rows, the per-tile sphere shortlist WALK is
+# replaced by ONE dense (TILE, Ps) pass over every sphere.  Measured on
+# marbles (650 spheres = 6 cluster rows, the only bundled scene in this
+# regime): the walk machinery (while_loop + per-visit row loads +
+# early-exit reduces) is ~31 of the 43.7 ms bounce-0 2-light shadow wave
+# while the pair MATH is ~1 ms (exp_marbles_shadow_anatomy.py,
+# exp_relaxed_marbles.py) — the dense pass pays all pairs but none of
+# the machinery.  Bitwise-safe: any-hit ORs are order-free, and every
+# acceptable pair's cluster is provably shortlisted (origin-inside-
+# sphere implies origin-inside-box implies slab hit), so OR over ALL
+# clusters equals OR over the shortlist.
+DENSE_SPH_ROWS = 8
+
+
+def _sph_dense_occluded(sph_ref, ox, oy, oz, dx, dy, dz, tmax,
+                        relaxed: bool):
+    """(TILE, 1) any-occluded over the FULL sphere table (all Ps slots,
+    padding rejected by rad > 0); same per-pair math as
+    _sph_cluster_test / _sph_cluster_occluded_relaxed."""
+    row = lambda j: sph_ref[j, :][None, :]          # (1, Ps)
+    cx, cy, cz, rad = row(0), row(1), row(2), row(3)
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a_q = dx * dx + dy * dy + dz * dz
+    b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    if relaxed:
+        u = 2.0 * a_q * tmax + b_q
+        hit = ((rad > 0.0) & (disc >= 0.0)
+               & ((b_q <= 0.0) | (c_q <= 0.0))
+               & ((u > 0.0) | (disc > u * u)))
+    else:
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b_q - sq) / (2.0 * a_q)
+        t2 = (-b_q + sq) / (2.0 * a_q)
+        ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+        hit = ok & (t1 < tmax)
+    return jnp.any(hit, axis=1, keepdims=True)
+
+
 def _sph_cluster_occluded_relaxed(sph_ref, s, ox, oy, oz, dx, dy, dz, tmax):
     """sqrt/div-FREE sphere any-hit: sign tests algebraically equivalent
     to ``ok & (t1 < tmax)`` of _sph_cluster_test (a_q > 0):
@@ -905,6 +946,7 @@ def _shadow_kernel(
     *, n_sph: int, ct: int, cs: int, wt: int, ws: int,
     early_exit: bool = True, relaxed: bool = False,
 ):
+    dense_sph = cs <= DENSE_SPH_ROWS
     """Any-hit over fixed-light segments: 4-plane sign test per triangle
     pair, evaluated at the ray ORIGIN only (origins are the sole per-ray
     input).  Spheres reuse the quadratic with d = L - o recomputed from
@@ -982,8 +1024,16 @@ def _shadow_kernel(
 
         @pl.when(sc_ref[i] != 0)
         def _():
-            _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST,
-                            ws, sph_body, keep_going=kg)
+            if dense_sph:
+                dx = lp_ref[0] - ox
+                dy = lp_ref[1] - oy
+                dz = lp_ref[2] - oz
+                hit = _sph_dense_occluded(sph_ref, ox, oy, oz, dx, dy, dz,
+                                          1.0, relaxed)
+                fnd[:] = fnd[:] | hit.astype(jnp.int32)
+            else:
+                _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs,
+                                MAX_SPH_LIST, ws, sph_body, keep_going=kg)
         found_out[p, :] = fnd[:, 0]
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
@@ -1059,6 +1109,7 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
     sph_ref = args[6 * nl + 2 + nl]
     found_out = args[6 * nl + 3 + nl]
     fnd, acc = args[6 * nl + 4 + nl :]
+    dense_sph = cs <= DENSE_SPH_ROWS
     base = pl.program_id(0) * TPB
 
     def subtile(p, _):
@@ -1125,9 +1176,17 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
             kg = not_all_found if early_exit else None
 
             @pl.when(sc[i] != 0)
-            def _():
-                _visit_clusters(i, sw, sl_, sc, cs, MAX_SPH_LIST, ws,
-                                sph_body, keep_going=kg)
+            def _(l=l, sc=sc, sw=sw, sl_=sl_, bit=bit):
+                if dense_sph:
+                    dx = lp_ref[3 * l + 0] - ox
+                    dy = lp_ref[3 * l + 1] - oy
+                    dz = lp_ref[3 * l + 2] - oz
+                    hit = _sph_dense_occluded(sph_ref, ox, oy, oz,
+                                              dx, dy, dz, 1.0, relaxed)
+                    fnd[:] = fnd[:] | (hit.astype(jnp.int32) * bit)
+                else:
+                    _visit_clusters(i, sw, sl_, sc, cs, MAX_SPH_LIST, ws,
+                                    sph_body, keep_going=kg)
         found_out[p, :] = fnd[:, 0]
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
