@@ -780,8 +780,22 @@ def _closest_kernel(
 
         _visit_clusters(i, tw_ref, tl_ref, tc_ref, ct, MAX_TRI_LIST, wt,
                         tri_body)
-        _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST, ws,
-                        sph_body)
+        if cs <= DENSE_SPH_ROWS:
+            # small sphere tables: visit EVERY cluster unconditionally
+            # in ascending order — the walk's per-visit machinery costs
+            # more than the spared visits (marbles closest: 12.8 of
+            # 16.1 ms is sphere-side, mostly walk overhead;
+            # exp_marbles_closest_anatomy.py).  Ascending visit order is
+            # the engine's existing bitmask-fallback semantic; it can
+            # flip only EXACT cross-cluster float-t ties vs the
+            # entry-sorted list walk.
+            @pl.when(sc_ref[i] != 0)
+            def _():
+                for k in range(cs):
+                    sph_body(k)
+        else:
+            _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST,
+                            ws, sph_body)
         at = acc_t[:]
         tmin = jnp.min(at, axis=1, keepdims=True)
         j = jnp.argmin(at, axis=1, keepdims=True).astype(jnp.int32)
@@ -864,8 +878,13 @@ def _any_kernel(
 
         @pl.when(sc_ref[i] != 0)
         def _():
-            _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs, MAX_SPH_LIST,
-                            ws, sph_body, keep_going=not_all_found)
+            if cs <= DENSE_SPH_ROWS:
+                for k in range(cs):  # order-free ORs; walk overhead >
+                    sph_body(k)      # the spared visits (see closest)
+            else:
+                _visit_clusters(i, sw_ref, sl_ref, sc_ref, cs,
+                                MAX_SPH_LIST, ws, sph_body,
+                                keep_going=not_all_found)
 
         found_out[p, :] = fnd[:, 0]
 
