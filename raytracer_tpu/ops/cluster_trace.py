@@ -965,7 +965,6 @@ def _shadow_kernel(
     *, n_sph: int, ct: int, cs: int, wt: int, ws: int,
     early_exit: bool = True, relaxed: bool = False,
 ):
-    dense_sph = cs <= DENSE_SPH_ROWS
     """Any-hit over fixed-light segments: 4-plane sign test per triangle
     pair, evaluated at the ray ORIGIN only (origins are the sole per-ray
     input).  Spheres reuse the quadratic with d = L - o recomputed from
@@ -978,6 +977,7 @@ def _shadow_kernel(
     folded to one min, and per-visit results accumulated into a
     (TILE, CLUSTER) running max (ONE op) instead of an 9-op lane
     reduction; the any-lane reduction runs once per subtile."""
+    dense_sph = cs <= DENSE_SPH_ROWS
     base = pl.program_id(0) * TPB
 
     def subtile(p, _):

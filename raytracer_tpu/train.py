@@ -134,10 +134,12 @@ def main(argv=None) -> None:
     if args.batch > 0:
         batch = max(args.batch - args.batch % mesh.size, mesh.size)
     else:
-        # whole-frame mode: trim the non-divisible tail ONCE (a fixed
-        # subset, uploaded once) instead of silently degrading to a
-        # fresh random near-full minibatch with a per-step host->device
-        # upload
+        batch = r_total
+    if batch >= r_total:
+        # whole-frame mode (explicit batch clamped down to it too): trim
+        # the non-divisible tail ONCE (a fixed subset, uploaded once)
+        # instead of silently degrading to a fresh random near-full
+        # minibatch with a per-step host->device upload
         drop = r_total % mesh.size
         if drop:
             print(f"note: dropping {drop} of {r_total} rays so the "
