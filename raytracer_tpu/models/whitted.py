@@ -433,14 +433,14 @@ def render_camera_streamed(
     aligned so every shard holds whole pixel-tile blocks, and the frame is
     padded with virtual bottom rows to keep all shards equal (the extra
     rows are rendered and cropped; eye-ray math extrapolates the image
-    plane).  In-frame pixels are bitwise unaffected even when the real/pad
-    boundary lands mid tile-block (frame height not a multiple of the
-    8-row block): pad rays can only WIDEN a boundary tile's cluster
-    shortlist — a sound superset — and both the list and bitmask-fallback
-    paths visit clusters in ascending id order with strict-< best updates,
-    so each real ray's result is a function of the ray alone, independent
-    of its tile's composition (pinned by
-    tests/test_cli_mesh.py::test_mesh_streamed_band_padding[150]).
+    plane).  When the real/pad boundary lands mid tile-block (frame height
+    not a multiple of the 8-row block), pad rays can only WIDEN a boundary
+    tile's cluster shortlist — a sound superset, so every real ray still
+    tests its winning primitives; composition can only reorder visits,
+    observable solely in the exact-float-t tie class the cluster engine
+    already documents (cluster_trace._closest_kernel).  The boundary case
+    is pinned bitwise by
+    tests/test_cli_mesh.py::test_mesh_streamed_band_padding[150].
     """
     from raytracer_tpu.models.clusters import ClusterSet
     from raytracer_tpu.ops.camera import camera_vectors

@@ -51,11 +51,13 @@ def test_mesh_streamed_band_padding(reference_inputs, height):
 
     height=150 is deliberately NOT a multiple of the 8-row tile block:
     the real/pad boundary lands mid tile-block, so boundary tiles mix
-    virtual-row rays into real pixels' shortlists.  That is still exact:
-    extra rays only widen a tile's cluster shortlist (a sound superset),
-    and both the list and the bitmask-fallback paths visit clusters in
-    ascending id order with strict-< best updates, so each ray's result
-    is a function of the ray alone, independent of tile composition."""
+    virtual-row rays into real pixels' shortlists.  Extra rays only WIDEN
+    a tile's cluster shortlist (a sound superset — a real ray cannot hit
+    a cluster box its slab test misses), so each real ray tests the same
+    winning primitives; composition can only reorder visits, which is
+    observable solely in the exact-float-t tie class the engine already
+    documents (_closest_kernel docstring).  This test pins the boundary
+    case bitwise on simple.xml."""
     import dataclasses
 
     import jax
