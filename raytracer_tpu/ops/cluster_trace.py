@@ -32,6 +32,7 @@ the differentiable quantities).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -201,7 +202,14 @@ def _ray_mask_jnp(origin, dirs, active, cmin, cmax, t_hi, tile: int):
 # Bundled scenes all have cpad <= 512 and keep the single-level kernel
 # unchanged; the hierarchy only engages for big scenes (~>65k tris).
 _SUPER = 128
-_SUPER_MIN_CPAD = 512
+# Overridable for A/B experiments (exp_super_min_ab.py) and the synthetic
+# hier-gate hardware test: lowering to 128 engages the row-granularity
+# gate on 256-column scenes (horse_and_mug).  Round-5 measurement: at
+# cpad <= 512 the gate is a measured 7% LOSS on horse (86.5 -> 92.8 ms,
+# bitwise-equal) — live-tile row-skip fractions are only 0.05-1.6% on
+# the exact-mask waves (exp_subchunk_stats.py) — so the default stays
+# 512.
+_SUPER_MIN_CPAD = int(os.environ.get("RAYTRACER_SUPER_MIN_CPAD", "512"))
 
 
 def _super_boxes(cmin, cmax, cpad: int):
@@ -567,6 +575,15 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
 # acceptable pair's cluster is provably shortlisted (origin-inside-
 # sphere implies origin-inside-box implies slab hit), so OR over ALL
 # clusters equals OR over the shortlist.
+#
+# Round-5 close-out: GATING each dense row on its exact-mask bitmask bit
+# (already in SMEM; live marbles tiles need only 2.7-4.9 of the 6 rows,
+# exp_marbles_rowgate_stats.py) is a measured LOSS — marbles 254.6 ->
+# 331 ms with a pure static scalar bit test per row, 368 ms when a
+# vector->scalar all-lanes-occluded early exit is folded into the gate.
+# A Mosaic pl.when costs ~150 cycles and breaks cross-row software
+# pipelining, eating the ~350-cycle row saving; the unconditional
+# straight-line form below stays.
 DENSE_SPH_ROWS = 8
 
 
