@@ -1211,18 +1211,58 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
 
             kg = not_all_found if early_exit else None
 
-            @pl.when(sc[i] != 0)
-            def _(l=l, sc=sc, sw=sw, sl_=sl_, bit=bit):
-                if dense_sph:
-                    dx = lp_ref[3 * l + 0] - ox
-                    dy = lp_ref[3 * l + 1] - oy
-                    dz = lp_ref[3 * l + 2] - oz
-                    hit = _sph_dense_occluded(sph_ref, ox, oy, oz,
-                                              dx, dy, dz, 1.0, relaxed)
-                    fnd[:] = fnd[:] | (hit.astype(jnp.int32) * bit)
-                else:
+            if not dense_sph:
+                @pl.when(sc[i] != 0)
+                def _(l=l, sc=sc, sw=sw, sl_=sl_, bit=bit):
                     _visit_clusters(i, sw, sl_, sc, cs, MAX_SPH_LIST, ws,
                                     sph_body, keep_going=kg)
+        if dense_sph:
+            # ONE combined dense pass for ALL lights (round 5): the
+            # light-INDEPENDENT per-pair terms (o-c and c_q = |o-c|^2 -
+            # r^2, ~7 of the ~25 ops/pair/light) are computed once and
+            # shared — bitwise-identical expressions to the per-light
+            # form, just hoisted (Mosaic cannot CSE across the former
+            # per-light pl.when regions).  Runs when ANY light has
+            # sphere candidates; a candidate-free light's OR is sound
+            # (no ACTIVE lane's segment crosses any sphere box, the
+            # DENSE_SPH_ROWS shortlist argument; inactive lanes are
+            # masked downstream).
+            sc_any = sl_refs[5][i] != 0
+            for l in range(1, nl):
+                sc_any |= sl_refs[6 * l + 5][i] != 0
+
+            @pl.when(sc_any)
+            def _():
+                dls = [(lp_ref[3 * l + 0] - ox,
+                        lp_ref[3 * l + 1] - oy,
+                        lp_ref[3 * l + 2] - oz) for l in range(nl)]
+                als = [dx * dx + dy * dy + dz * dz for (dx, dy, dz) in dls]
+                for k in range(cs):
+                    sk = k * CLUSTER
+                    row = lambda j: sph_ref[j, sk:sk + CLUSTER][None, :]
+                    cx, cy, cz, rad = row(0), row(1), row(2), row(3)
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    c_q = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    for l in range(nl):
+                        dx, dy, dz = dls[l]
+                        a_q = als[l]
+                        b_q = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+                        disc = b_q * b_q - 4.0 * a_q * c_q
+                        if relaxed:
+                            u = 2.0 * a_q + b_q
+                            hit = ((rad > 0.0) & (disc >= 0.0)
+                                   & ((b_q <= 0.0) | (c_q <= 0.0))
+                                   & ((u > 0.0) | (disc > u * u)))
+                        else:
+                            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                            t1 = (-b_q - sq) / (2.0 * a_q)
+                            t2 = (-b_q + sq) / (2.0 * a_q)
+                            ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) \
+                                & (rad > 0.0)
+                            hit = ok & (t1 < 1.0)
+                        fnd[:] = fnd[:] | (
+                            jnp.any(hit, axis=1, keepdims=True)
+                            .astype(jnp.int32) * jnp.int32(1 << l))
         found_out[p, :] = fnd[:, 0]
 
     jax.lax.fori_loop(0, TPB, subtile, 0)
