@@ -555,11 +555,16 @@ def _sph_cluster_test(sph_ref, s, ox, oy, oz, dx, dy, dz, n_sph: int):
     disc = b_q * b_q - 4.0 * a_q * c_q
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = (-b_q - sq) / (2.0 * a_q)
-    t2 = (-b_q + sq) / (2.0 * a_q)
+    # t2 = (-b_q + sq) / (2 a_q) is consumed ONLY by its sign test, and
+    # IEEE division by 2a > 0 preserves the numerator's sign exactly
+    # (incl. the +-0 cases), so the per-pair divide is dropped
+    # bitwise-safely: t2 < 0  <=>  (sq - b_q) < 0  (fl(sq - b_q) ==
+    # fl(-b_q + sq), addition is bitwise commutative)
+    t2neg = (sq - b_q) < 0.0
     # padding slots have radius 0 and are rejected explicitly (a zero
     # sphere at the origin could otherwise produce a tangent root)
     del n_sph
-    ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+    ok = (disc >= 0.0) & ~((t1 < 0.0) & t2neg) & (rad > 0.0)
     return t1, ok
 
 
@@ -607,8 +612,8 @@ def _sph_dense_occluded(sph_ref, ox, oy, oz, dx, dy, dz, tmax,
     else:
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = (-b_q - sq) / (2.0 * a_q)
-        t2 = (-b_q + sq) / (2.0 * a_q)
-        ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+        # t2's divide dropped bitwise-safely (see _sph_cluster_test)
+        ok = (disc >= 0.0) & ~((t1 < 0.0) & ((sq - b_q) < 0.0)) & (rad > 0.0)
         hit = ok & (t1 < tmax)
     return jnp.any(hit, axis=1, keepdims=True)
 
@@ -1256,8 +1261,10 @@ def _shadow_kernel_ml(*args, n_sph: int, ct: int, cs: int, wt: int,
                         else:
                             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                             t1 = (-b_q - sq) / (2.0 * a_q)
-                            t2 = (-b_q + sq) / (2.0 * a_q)
-                            ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) \
+                            # t2's divide dropped bitwise-safely (see
+                            # _sph_cluster_test)
+                            ok = (disc >= 0.0) \
+                                & ~((t1 < 0.0) & ((sq - b_q) < 0.0)) \
                                 & (rad > 0.0)
                             hit = ok & (t1 < 1.0)
                         fnd[:] = fnd[:] | (
@@ -1369,8 +1376,8 @@ def _small_sphere_test_multi(cset: ClusterSet, origin, lps,
             continue
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = (-b_q - sq) / (2.0 * a_q)
-        t2 = (-b_q + sq) / (2.0 * a_q)
-        ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+        # t2's divide dropped bitwise-safely (see _sph_cluster_test)
+        ok = (disc >= 0.0) & ~((t1 < 0.0) & ((sq - b_q) < 0.0)) & (rad > 0.0)
         occ.append(jnp.any(ok & (t1 < 1.0), axis=1))
     return jnp.stack(occ, axis=1)                    # (R, L)
 
@@ -1705,8 +1712,8 @@ def _small_sphere_test(cset: ClusterSet, origin, dirs):
     disc = b_q * b_q - 4.0 * a_q * c_q
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = (-b_q - sq) / (2.0 * a_q)
-    t2 = (-b_q + sq) / (2.0 * a_q)
-    ok = (disc >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0)) & (rad > 0.0)
+    # t2's divide dropped bitwise-safely (see _sph_cluster_test)
+    ok = (disc >= 0.0) & ~((t1 < 0.0) & ((sq - b_q) < 0.0)) & (rad > 0.0)
     return t1, ok
 
 
