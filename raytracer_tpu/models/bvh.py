@@ -57,6 +57,79 @@ class BVH:
     leaf_count: Array   # (N,)  i32 — 0 for inner nodes
     axis: Array         # (N,)  i32 — split axis (inner nodes)
     prim_idx: Array     # (P,)  i32 — reordered primitive ids
+    # Ordered-descent octant threads (round 5): eight re-threaded copies
+    # of the node arrays, one per ray direction octant
+    # o = 4*(dx<0) + 2*(dy<0) + (dz<0), concatenated as blocks of N.
+    # Block o's preorder visits, at every inner node, the NEAR child
+    # first for rays of that octant (left first iff dir[axis] >= 0 —
+    # the reference's ordered descent, raytracer.cpp:190-196, realized
+    # stacklessly: a ray just starts its walk at node o*N).  Block 0 is
+    # exactly the classic preorder.  Skip values are GLOBAL (offset by
+    # o*N).  None when the build skips them (ordered=False, or trees
+    # above _ORDERED_MAX_NODES where the 8x memory is not worth the
+    # fallback engine's time).  Measured: 1.74-1.88x fewer lockstep
+    # iterations on bunny/dragon eye waves (exp_ordered_descent.py).
+    oct_box_min: Array = None    # (8N, 3) f32
+    oct_box_max: Array = None    # (8N, 3) f32
+    oct_skip: Array = None       # (8N,)  i32 (global indices)
+    oct_leaf_start: Array = None # (8N,)  i32
+    oct_leaf_count: Array = None # (8N,)  i32
+
+
+# Above this node count the octant threads (8x node memory) are skipped;
+# the walk then falls back to plain preorder.  The bvh engine is the
+# CPU-sweep/fallback engine — giant scenes use the cluster engine.
+_ORDERED_MAX_NODES = 200_000
+
+
+def _octant_threads(bvh: BVH) -> BVH:
+    """Attach the eight ordered-descent node threads (vectorized host
+    pass, O(8N); see the BVH field docs)."""
+    skip0 = np.asarray(bvh.skip, np.int64)
+    leaf_count = np.asarray(bvh.leaf_count, np.int64)
+    axis = np.asarray(bvh.axis, np.int64)
+    box_min = np.asarray(bvh.box_min, np.float32)
+    box_max = np.asarray(bvh.box_max, np.float32)
+    leaf_start = np.asarray(bvh.leaf_start, np.int64)
+    n = skip0.shape[0]
+    size = skip0 - np.arange(n)          # subtree size per node
+    inner = leaf_count == 0
+    idx = np.arange(n)
+    left = np.minimum(idx + 1, n - 1)
+    right = np.where(inner, skip0[left], 0)
+
+    obm, obx, osk, ols, olc = [], [], [], [], []
+    for o in range(8):
+        neg = np.array([(o >> 2) & 1, (o >> 1) & 1, o & 1], bool)
+        swap = inner & neg[axis]
+        first = np.where(swap, right, idx + 1)
+        second = np.where(swap, idx + 1, right)
+        newpos = np.zeros(n, np.int64)
+        frontier = np.array([0], np.int64)
+        while frontier.size:
+            f = frontier[inner[frontier]]
+            if f.size == 0:
+                break
+            fc, sc = first[f], second[f]
+            newpos[fc] = newpos[f] + 1
+            newpos[sc] = newpos[f] + 1 + size[fc]
+            frontier = np.concatenate([fc, sc])
+        inv = np.empty(n, np.int64)
+        inv[newpos] = idx                 # old node at each new slot
+        base = o * n
+        obm.append(box_min[inv])
+        obx.append(box_max[inv])
+        osk.append((np.arange(n) + size[inv] + base).astype(np.int32))
+        ols.append(leaf_start[inv].astype(np.int32))
+        olc.append(leaf_count[inv].astype(np.int32))
+    return dataclasses.replace(
+        bvh,
+        oct_box_min=np.concatenate(obm),
+        oct_box_max=np.concatenate(obx),
+        oct_skip=np.concatenate(osk),
+        oct_leaf_start=np.concatenate(ols),
+        oct_leaf_count=np.concatenate(olc),
+    )
 
 
 def _widest_axis(bmin: np.ndarray, bmax: np.ndarray) -> int:
@@ -115,8 +188,12 @@ def _build_native(prim_min, prim_max, centers, prim_ids):
     )
 
 
-def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
-    """Build on host from the (numpy-convertible) scene arrays."""
+def build_bvh(data: SceneData, meta: SceneMeta, ordered: bool | None = None
+              ) -> BVH:
+    """Build on host from the (numpy-convertible) scene arrays.
+
+    ``ordered``: attach the octant ordered-descent threads (default:
+    auto — yes below _ORDERED_MAX_NODES)."""
     verts = np.asarray(data.vertices, dtype=np.float32)
     tri_v = np.asarray(data.tri_v, dtype=np.int64)[: meta.n_tris]
     t_pad = int(np.asarray(data.tri_v).shape[0])
@@ -146,9 +223,14 @@ def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
         [np.arange(n_tris, dtype=np.int32), t_pad + np.arange(n_sph, dtype=np.int32)]
     )
 
+    def _finish(b: BVH) -> BVH:
+        do = ordered if ordered is not None else (
+            b.skip.shape[0] <= _ORDERED_MAX_NODES)
+        return _octant_threads(b) if do else b
+
     built = _build_native(prim_min, prim_max, centers, prim_ids)
     if built is not None:
-        return built
+        return _finish(built)
 
     node_min, node_max, node_axis = [], [], []
     leaf_ranges = []  # (start, count) per node; (0, 0) for inner
@@ -223,7 +305,7 @@ def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
     end_idx = fill_skip(0)
     assert end_idx == n_nodes
 
-    return BVH(
+    return _finish(BVH(
         box_min=np.stack(node_min).astype(np.float32),
         box_max=np.stack(node_max).astype(np.float32),
         skip=skip,
@@ -231,7 +313,7 @@ def build_bvh(data: SceneData, meta: SceneMeta) -> BVH:
         leaf_count=leaf_count_arr,
         axis=np.array(node_axis, dtype=np.int32),
         prim_idx=np.concatenate(prim_order).astype(np.int32),
-    )
+    ))
 
 
 def validate_bvh(bvh: BVH, n_prims: int) -> None:

@@ -114,6 +114,7 @@ def render_rays(
     differentiable: bool = False,
     bfc: bool = False,
     relaxed: bool = False,
+    compact_mode: str = "auto",
 ):
     """Trace a wavefront of rays to radiance.
 
@@ -131,6 +132,11 @@ def render_rays(
         acceptance, but grazing/tangent pairs can flip under f32
         rounding (ops.cluster_trace._sph_cluster_occluded_relaxed).
         Default off: bitwise-unchanged output.
+      compact_mode: "auto" (default) gates per-bounce activity
+        compaction off below max_depth _COMPACT_MIN_DEPTH; "deep" keeps
+        the runtime scatter gate but drops the depth gate — for waves
+        known to be scattered by construction (adaptive refinement
+        blocks are the divergent edge tiles; VERDICT round-4 item 5).
     Returns:
       (R, 3) float32 radiance (pre-quantization).
     """
@@ -183,8 +189,9 @@ def render_rays(
     # max_depth 2, coherent bounces — measured loss), the differentiable
     # path (scan carries would double sort count under AD for no forward
     # win), and non-TILE-multiple wavefronts (tile stats undefined).
-    compact = (fast_hits and meta.max_depth >= _COMPACT_MIN_DEPTH
-               and not differentiable)
+    compact = (fast_hits and not differentiable
+               and (meta.max_depth >= _COMPACT_MIN_DEPTH
+                    or compact_mode == "deep"))
     if compact:
         from raytracer_tpu.ops.cluster_trace import TILE as _TILE
 

@@ -127,8 +127,13 @@ def _adaptive_jit(data, meta, cam_vec, h, w, rows_t, cols_t, inv, key,
                               (b, og, sub, g, p)).reshape(-1)
         e, dirs = eye_rays_pixels(cam_vec, w, h, rr, cc,
                                   jitter=jit_p.reshape(-1, 2))
+        # refinement waves force the depth-gate off ("deep"): their
+        # blocks are the divergent edge tiles whose deep bounces are
+        # scattered by construction; the runtime scatter gate still
+        # decides per bounce (VERDICT round-4 item 5)
         color = render_rays(data, meta, e, dirs, bvh=bvh, engine=engine,
-                            bfc=bfc, relaxed=relaxed)
+                            bfc=bfc, relaxed=relaxed,
+                            compact_mode="auto" if center_first else "deep")
         color = color.reshape(b, og, sub, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
         return color.reshape(b, spp, npx, 3)
 

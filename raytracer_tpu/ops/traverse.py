@@ -185,15 +185,50 @@ def _prim_test(data: SceneData, origin, dirs, p, bfc: bool = False):
 def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool,
               bfc: bool = False):
     """Shared lockstep skip-walk. closest=True → closest-hit with t-pruning;
-    False → any-hit with early per-ray termination at t < t_max."""
+    False → any-hit with early per-ray termination at t < t_max.
+
+    When the BVH carries octant threads (models.bvh._octant_threads),
+    each ray walks the re-threaded preorder for ITS direction octant —
+    the reference's near-child-first ordered descent
+    (raytracer.cpp:190-196) realized stacklessly: the only change is the
+    per-ray start node o*N and end bound (o+1)*N, zero per-step cost.
+    Ordered descent tightens best_t earlier so the t-prune fires more:
+    measured 1.74-1.88x fewer lockstep iterations on bunny/dragon eye
+    waves (experiments/exp_ordered_descent.py) and 1.24-1.25x wall-clock
+    on CPU — but a 0.72-0.87x LOSS on TPU, where per-step node gathers
+    cost scales with the 8x table (experiments/exp_ordered_ab.py), so
+    the threads engage off-TPU only (the bvh engine's CPU-sweep role;
+    the TPU flagship is the cluster engine).  Visit ORDER changes, so
+    exact cross-primitive float-t ties can resolve to the other equal-t
+    primitive — the tie class already documented for engine-vs-engine
+    comparisons (bunny/dragon full-res measured bitwise-equal on CPU)."""
     origin = jax.lax.stop_gradient(jnp.broadcast_to(origin, dirs.shape))
     dirs = jax.lax.stop_gradient(dirs)
     r = dirs.shape[0]
-    n = bvh.box_min.shape[0]
+    n = bvh.skip.shape[0]
     p_total = bvh.prim_idx.shape[0]
     inv_d = 1.0 / dirs
 
-    node0 = jnp.zeros((r,), jnp.int32)
+    ordered = (bvh.oct_skip is not None
+               and jax.devices()[0].platform != "tpu")
+    if ordered:
+        box_min, box_max = bvh.oct_box_min, bvh.oct_box_max
+        skip_arr = bvh.oct_skip
+        leaf_start, leaf_count = bvh.oct_leaf_start, bvh.oct_leaf_count
+        n_total = 8 * n
+        oct_ = ((dirs < 0.0).astype(jnp.int32)
+                * jnp.array([4, 2, 1], jnp.int32)).sum(-1)
+        base = oct_ * n
+        node0 = base
+        end = base + n
+    else:
+        box_min, box_max = bvh.box_min, bvh.box_max
+        skip_arr = bvh.skip
+        leaf_start, leaf_count = bvh.leaf_start, bvh.leaf_count
+        n_total = n
+        node0 = jnp.zeros((r,), jnp.int32)
+        end = jnp.full((r,), n, jnp.int32)
+
     cursor0 = jnp.zeros((r,), jnp.int32)
     remaining0 = jnp.zeros((r,), jnp.int32)
     best_t0 = jnp.full((r,), jnp.inf, jnp.float32)
@@ -202,7 +237,7 @@ def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool,
 
     def cond(state):
         node, cursor, remaining, best_t, best_p, done = state
-        return jnp.any(~done & ((node < n) | (remaining > 0)))
+        return jnp.any(~done & ((node < end) | (remaining > 0)))
 
     def body(state):
         node, cursor, remaining, best_t, best_p, done = state
@@ -224,20 +259,20 @@ def _bvh_walk(data: SceneData, bvh: BVH, origin, dirs, t_max, closest: bool,
         remaining = jnp.where(in_leaf, remaining - 1, remaining)
 
         # --- node step
-        at_node = ~in_leaf & (node < n) & ~done
-        ni = jnp.clip(node, 0, n - 1)
-        tmin, ok_box = aabb_intersect(origin, inv_d, bvh.box_min[ni], bvh.box_max[ni])
+        at_node = ~in_leaf & (node < end) & ~done
+        ni = jnp.clip(node, 0, n_total - 1)
+        tmin, ok_box = aabb_intersect(origin, inv_d, box_min[ni], box_max[ni])
         if closest:
             visit = ok_box & (tmin <= best_t)  # prune like raytracer.cpp:188
         else:
             visit = ok_box  # shadow walk never t-prunes boxes (cpp:264-280)
-        count = bvh.leaf_count[ni]
+        count = leaf_count[ni]
         is_leaf = count > 0
-        next_node = jnp.where(visit, node + 1, bvh.skip[ni])
+        next_node = jnp.where(visit, node + 1, skip_arr[ni])
         enter_leaf = at_node & visit & is_leaf
         node = jnp.where(at_node, next_node, node)
         remaining = jnp.where(enter_leaf, count, remaining)
-        cursor = jnp.where(enter_leaf, bvh.leaf_start[ni], cursor)
+        cursor = jnp.where(enter_leaf, leaf_start[ni], cursor)
         return node, cursor, remaining, best_t, best_p, done
 
     state = (node0, cursor0, remaining0, best_t0, best_p0, done0)

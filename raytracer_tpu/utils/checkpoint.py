@@ -46,19 +46,22 @@ def _unflatten_from_npz(path: str, like) -> Any:
     return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
-_ACCEL_VERSION = 4  # v4: ClusterSet grew tri_verts (shadow plane source)
+_ACCEL_VERSION = 5  # v5: BVH grew optional oct_* ordered-descent threads
 
 
 def save_accel(path: str, bvh: BVH, clusters: ClusterSet) -> None:
     """Persist the acceleration structures for a scene.
 
     The file is SELF-DESCRIBING: every dataclass field is stored under its
-    own key (npz records shapes/dtypes), so ``load_accel`` reconstructs the
-    pytrees without redoing the build it is meant to skip.
+    own key (npz records shapes/dtypes; None-valued optional fields are
+    simply omitted), so ``load_accel`` reconstructs the pytrees without
+    redoing the build it is meant to skip.
     """
     payload: dict = {"accel_version": np.int64(_ACCEL_VERSION)}
     for f in dataclasses.fields(BVH):
-        payload[f"bvh.{f.name}"] = np.asarray(getattr(bvh, f.name))
+        v = getattr(bvh, f.name)
+        if v is not None:
+            payload[f"bvh.{f.name}"] = np.asarray(v)
     for f in dataclasses.fields(ClusterSet):
         v = getattr(clusters, f.name)
         payload[f"cluster.{f.name}"] = (
@@ -76,7 +79,10 @@ def load_accel(path: str) -> Tuple[BVH, ClusterSet]:
             raise ValueError(
                 f"{path}: not a version-{_ACCEL_VERSION} accel cache"
             )
-        bvh = BVH(**{f.name: z[f"bvh.{f.name}"] for f in dataclasses.fields(BVH)})
+        bvh = BVH(**{
+            f.name: z[f"bvh.{f.name}"] if f"bvh.{f.name}" in z else None
+            for f in dataclasses.fields(BVH)
+        })
         ckw = {}
         for f in dataclasses.fields(ClusterSet):
             v = z[f"cluster.{f.name}"]

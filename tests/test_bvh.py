@@ -44,3 +44,42 @@ def test_engine_equivalence(reference_inputs, name):
     a = np.asarray(render_camera(data, meta, cam, engine="brute"))
     b = np.asarray(render_camera(data, meta, cam, bvh=bvh, engine="bvh"))
     assert np.array_equal(a, b), f"max diff {np.abs(a - b).max()}"
+
+
+def test_octant_threads_invariants(reference_inputs):
+    """Each of the 8 ordered-descent blocks is a permutation of the base
+    preorder carrying the same boxes/leaves; block 0 (all-positive
+    directions = left-first everywhere) IS the base preorder; skip
+    pointers are global and stay inside their block."""
+    data, meta = load_scene(f"{reference_inputs}/bunny.xml")
+    bvh = build_bvh(data, meta, ordered=True)
+    n = np.asarray(bvh.skip).shape[0]
+    obm = np.asarray(bvh.oct_box_min).reshape(8, n, 3)
+    osk = np.asarray(bvh.oct_skip).reshape(8, n)
+    olc = np.asarray(bvh.oct_leaf_count).reshape(8, n)
+    base_min = np.asarray(bvh.box_min)
+    assert np.array_equal(obm[0], base_min)
+    assert np.array_equal(osk[0], np.asarray(bvh.skip))
+    for o in range(8):
+        # same multiset of boxes/leaf counts (permutation check via sort)
+        assert np.array_equal(np.sort(obm[o], axis=0),
+                              np.sort(base_min, axis=0))
+        assert olc[o].sum() == np.asarray(bvh.leaf_count).sum()
+        local = osk[o] - o * n
+        assert (local >= np.arange(n) + 1).all()
+        assert (local <= n).all()
+
+
+def test_ordered_walk_matches_plain(reference_inputs):
+    """Ordered-descent walk == plain preorder walk on the bvh engine
+    (same minima; exact-t tie flips are possible in principle but these
+    scenes measure bitwise-equal — also pinned at full res on
+    bunny/dragon by experiments/exp_ordered_ab.py)."""
+    data, meta = load_scene(f"{reference_inputs}/dragon_lowres.xml")
+    plain = build_bvh(data, meta, ordered=False)
+    ordered = build_bvh(data, meta, ordered=True)
+    assert ordered.oct_skip is not None and plain.oct_skip is None
+    cam = dataclasses.replace(meta.cameras[0], width=64, height=64)
+    a = np.asarray(render_camera(data, meta, cam, bvh=plain, engine="bvh"))
+    b = np.asarray(render_camera(data, meta, cam, bvh=ordered, engine="bvh"))
+    assert np.array_equal(a, b), f"max diff {np.abs(a - b).max()}"
