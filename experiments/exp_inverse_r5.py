@@ -51,14 +51,13 @@ def setup(data_true, meta):
         jnp.asarray(origin, jnp.float32), jnp.asarray(dirs, jnp.float32)
 
 
-def run(task, data_true, data_pert, meta, fields, lr, err_fns):
+def run(task, data_true, data_pert, meta, fields, opt, err_fns):
     cam, target, origin, dirs = setup(data_true, meta)
     # accel from the AVAILABLE (perturbed) scene — what a user has
     accel = jax.device_put(
         build_clusters(data_pert, meta, build_bvh(data_pert, meta)))
     data_pert = jax.device_put(data_pert)
     mesh = Mesh(np.array(jax.devices()[:1]), (RAY_AXIS,))
-    opt = optax.adam(lr)
     state = init_state(data_pert, opt, fields=fields)
     step_fn = make_train_step(meta, mesh, opt, engine="cluster", ldr=False)
     t0 = time.perf_counter()
@@ -96,8 +95,16 @@ def main():
                       "init_lp_err": round(float(
                           np.linalg.norm(lp0 - lp_true)), 4),
                       "init_li_relerr": 0.4}), flush=True)
+    # per-field learning rates: adam's unit step cannot traverse an
+    # O(1e4) intensity error at lr 0.05 (measured: li frozen at 1.4x
+    # over 150 steps); scale the intensity group's step to the
+    # parameter's magnitude
+    li_scale = float(np.abs(li_true).mean())
+    opt_light = optax.multi_transform(
+        {"pos": optax.adam(0.05), "int": optax.adam(0.02 * li_scale)},
+        {"light_pos": "pos", "light_int": "int"})
     run("light", data_true, data_a, meta, ("light_pos", "light_int"),
-        lr=0.05,
+        opt=opt_light,
         err_fns={
             "lp_err": lambda p: jnp.linalg.norm(
                 p["light_pos"] - lp_true),
@@ -117,7 +124,7 @@ def main():
                       "init_vrmse": round(float(np.sqrt(
                           ((v0 - v_true) ** 2).mean())), 6)}), flush=True)
     run("vertices", data_true, data_b, meta, ("vertices",),
-        lr=2e-4,
+        opt=optax.adam(2e-4),
         err_fns={
             "v_rmse": lambda p: jnp.sqrt(
                 jnp.mean((p["vertices"] - v_true) ** 2)),

@@ -96,3 +96,54 @@ def terrain_scene(cells: int = 500, extent: float = 100.0,
         "spheres": [],
     }
     return from_parsed(parsed)
+
+
+def sphere_field(n_spheres: int = 20000, extent: float = 100.0,
+                 res: int = 512, seed: int = 0, max_depth: int = 2):
+    """(data, meta) for a jittered grid of ``n_spheres`` spheres — the
+    marbles regime at scale (sphere-cluster heavy, no triangles).
+    Radii vary 2x so cluster boxes see non-uniform density."""
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_spheres)))
+    pitch = extent / side
+    ii, jj = np.divmod(np.arange(n_spheres), side)
+    cx = (ii + 0.5) * pitch - extent / 2 + rng.normal(0, 0.2 * pitch,
+                                                      n_spheres)
+    cz = (jj + 0.5) * pitch - extent / 2 + rng.normal(0, 0.2 * pitch,
+                                                      n_spheres)
+    rad = pitch * (0.2 + 0.2 * rng.random(n_spheres))
+    cy = rad + rng.random(n_spheres) * 0.5 * pitch
+    centers = np.stack([cx, cy, cz], axis=1)
+    parsed = {
+        "background": [15, 20, 40],
+        "shadow_eps": 1e-3,
+        "max_depth": max_depth,
+        "cameras": [{
+            "position": [0.0, extent * 0.4, extent * 0.8],
+            "gaze": [0.0, -0.4, -1.0],
+            "up": [0.0, 1.0, 0.0],
+            "near_plane": [-1.0, 1.0, -1.0, 1.0],
+            "near_distance": 1.0,
+            "width": res,
+            "height": res,
+            "image_name": "sphere_field.ppm",
+        }],
+        "ambient_light": [30.0, 30.0, 30.0],
+        "point_lights": [
+            ([0.0, extent, 0.0], [3e5, 3e5, 2.8e5]),
+        ],
+        "materials": [{
+            "is_mirror": False,
+            "ambient": [0.1, 0.1, 0.1],
+            "diffuse": [0.6, 0.55, 0.5],
+            "specular": [0.3, 0.3, 0.3],
+            "mirror": [0.0, 0.0, 0.0],
+            "phong": 30.0,
+        }],
+        "vertices": centers.ravel().tolist(),
+        "meshes": [],
+        "triangles": [],
+        # sphere center is a 1-based VERTEX id (parser.h:200-204)
+        "spheres": [(1, i + 1, float(rad[i])) for i in range(n_spheres)],
+    }
+    return from_parsed(parsed)
