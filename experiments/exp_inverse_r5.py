@@ -37,8 +37,8 @@ import dataclasses
 
 SCENE = "/root/reference/inputs/bunny.xml"
 RES = 128
-STEPS = 200
-LOG_EVERY = 25
+STEPS = 300
+LOG_EVERY = 50
 
 
 def setup(data_true, meta):
@@ -96,12 +96,15 @@ def main():
                           np.linalg.norm(lp0 - lp_true)), 4),
                       "init_li_relerr": 0.4}), flush=True)
     # per-field learning rates: adam's unit step cannot traverse an
-    # O(1e4) intensity error at lr 0.05 (measured: li frozen at 1.4x
-    # over 150 steps); scale the intensity group's step to the
-    # parameter's magnitude
+    # O(1e3) intensity error at lr 0.05 (measured: li frozen at 1.4x
+    # over 150 steps), while a CONSTANT magnitude-scaled step thrashes
+    # the image and drags the position off (measured: lp_err 0.08 ->
+    # 0.50 divergence).  Cosine-decayed per-field schedules fix both.
     li_scale = float(np.abs(li_true).mean())
     opt_light = optax.multi_transform(
-        {"pos": optax.adam(0.05), "int": optax.adam(0.02 * li_scale)},
+        {"pos": optax.adam(optax.cosine_decay_schedule(0.03, STEPS)),
+         "int": optax.adam(optax.cosine_decay_schedule(
+             0.01 * li_scale, STEPS))},
         {"light_pos": "pos", "light_int": "int"})
     run("light", data_true, data_a, meta, ("light_pos", "light_int"),
         opt=opt_light,
@@ -123,8 +126,11 @@ def main():
                       "sigma": round(sigma, 5), "diag": round(diag, 3),
                       "init_vrmse": round(float(np.sqrt(
                           ((v0 - v_true) ** 2).mean())), 6)}), flush=True)
+    # vertex steps must stay well below sigma (adam moves ~lr/step per
+    # coordinate; lr 2e-4 walked 80x sigma in 200 steps and the loss
+    # sat in a noise ball)
     run("vertices", data_true, data_b, meta, ("vertices",),
-        opt=optax.adam(2e-4),
+        opt=optax.adam(optax.cosine_decay_schedule(2e-5, STEPS)),
         err_fns={
             "v_rmse": lambda p: jnp.sqrt(
                 jnp.mean((p["vertices"] - v_true) ** 2)),
