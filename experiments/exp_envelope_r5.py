@@ -70,6 +70,19 @@ def run(kind, maker, size):
     return row.get("ok", False)
 
 
+def run_retry(kind, maker, size, tries=2):
+    """Retry once: the axon remote-compile endpoint can fail transiently
+    (HTTP 500); a wall is only a wall if it reproduces."""
+    for t in range(tries):
+        if run(kind, maker, size):
+            return True
+        if t + 1 < tries:
+            print(json.dumps({"kind": kind, "size": size,
+                              "retrying": t + 2}), flush=True)
+            time.sleep(30)
+    return False
+
+
 def terrain_of(cells):
     return terrain_scene(cells=cells, res=512)
 
@@ -78,9 +91,14 @@ def spheres_of(n):
     return sphere_field(n_spheres=n, res=512)
 
 
-for cells in (500, 1000, 1414, 2000):
-    if not run("terrain", terrain_of, cells):
+sizes_t = [int(s) for s in os.environ.get(
+    "ENVELOPE_TERRAIN", "500,707,1000,1414,2000").split(",") if s]
+sizes_s = [int(s) for s in os.environ.get(
+    "ENVELOPE_SPHERES", "20000,100000,250000,500000,1000000").split(",")
+    if s]
+for cells in sizes_t:
+    if not run_retry("terrain", terrain_of, cells):
         break
-for n in (20000, 100000, 500000, 1000000):
-    if not run("sphere_field", spheres_of, n):
+for n in sizes_s:
+    if not run_retry("sphere_field", spheres_of, n):
         break
