@@ -14,12 +14,18 @@ the same code path the CLI runs):
                 loss ~0.3 (vs 1e-10 at truth, 78 at a 0.28 offset)
                 with pos/int errors trading off; recorded honestly.
   vertices    : N(0, sigma) jitter at sigma = 0.2% of the scene
-                diagonal, with the accel REBUILT from current params
-                every 25 steps — measured: a stale accel SHIFTS the
-                optimum (loss 108 at v_true under the perturbed-geometry
-                accel vs 1e-10 under the matching accel), so fixed-accel
-                optimization converges to the wrong point by design,
-                not by gradient failure.
+                diagonal, optimized under the FIXED-HIT-TOPOLOGY
+                convention (accel/hit ids from the target geometry, the
+                same convention tests/test_grad.py's vertex FD checks
+                use) — the loss optimum then sits exactly at v_true.
+                The self-consistent alternative (accel from current
+                params, rebuilt every 25 steps) was measured and
+                recorded: the discrete wrong-hit class (loss 108 of 210
+                at v_true under a sigma-stale accel) dominates, and the
+                optimizer reduces image loss 210 -> ~55 by compensation
+                with v_rmse flat — sub-pixel geometry against a
+                jitter-stale accel is an identifiability limit, not a
+                gradient failure.
 
 Prints JSON convergence rows (loss + recovered-vs-true errors) for the
 BASELINE.md table.
@@ -59,10 +65,11 @@ def setup(data_true, meta):
 
 
 def run(task, data_true, data_pert, meta, fields, opt, err_fns, steps,
-        rebuild_every=0):
+        rebuild_every=0, accel_from_true=False):
     cam, target, origin, dirs = setup(data_true, meta)
+    accel_src = data_true if accel_from_true else data_pert
     accel = jax.device_put(
-        build_clusters(data_pert, meta, build_bvh(data_pert, meta)))
+        build_clusters(accel_src, meta, build_bvh(accel_src, meta)))
     data_dev = jax.device_put(data_pert)
     mesh = Mesh(np.array(jax.devices()[:1]), (RAY_AXIS,))
     state = init_state(data_pert, opt, fields=fields)
@@ -91,6 +98,9 @@ def run(task, data_true, data_pert, meta, fields, opt, err_fns, steps,
 
 
 def main():
+    only = set(t for t in os.environ.get("INVERSE_TASKS", "").split(",")
+               if t)
+    want = lambda t: not only or t in only
     data_true, meta = load_scene(SCENE)
     rng = np.random.default_rng(7)
 
@@ -112,26 +122,43 @@ def main():
 
     data_a = dataclasses.replace(data_true,
                                  light_pos=jnp.asarray(lp0))
-    run("light_pos", data_true, data_a, meta, ("light_pos",),
+    if want("light_pos"):
+        run("light_pos", data_true, data_a, meta, ("light_pos",),
         opt=optax.adam(optax.cosine_decay_schedule(0.02, 200)),
         err_fns={"lp_err": lp_err}, steps=200)
 
     data_b = dataclasses.replace(data_true,
                                  light_int=jnp.asarray(li0))
-    run("light_int", data_true, data_b, meta, ("light_int",),
-        opt=optax.adam(optax.cosine_decay_schedule(0.005 * li_scale, 150)),
-        err_fns={"li_relerr": li_rel}, steps=150)
+    if want("light_int"):
+        run("light_int", data_true, data_b, meta, ("light_int",),
+        opt=optax.adam(optax.cosine_decay_schedule(0.005 * li_scale, 300)),
+        err_fns={"li_relerr": li_rel}, steps=300)
 
+    # joint: INTENSITY-FIRST warmup (photometric calibration before
+    # geometry) — a 1.4x-bright start otherwise pushes the position
+    # AWAY to dim the image, trapping the pair in the I/d^2 sliding
+    # valley (first joint run: lp_err 0.08 -> 0.52 with loss ~0.36 vs
+    # 1e-10 at truth)
     data_c = dataclasses.replace(data_true, light_pos=jnp.asarray(lp0),
                                  light_int=jnp.asarray(li0))
-    opt_joint = optax.multi_transform(
-        {"pos": optax.adam(optax.cosine_decay_schedule(0.02, 300)),
-         "int": optax.adam(optax.cosine_decay_schedule(
-             0.005 * li_scale, 300))},
-        {"light_pos": "pos", "light_int": "int"})
-    run("light_joint", data_true, data_c, meta, ("light_pos", "light_int"),
-        opt=opt_joint, err_fns={"lp_err": lp_err, "li_relerr": li_rel},
-        steps=300)
+    if want("light_joint"):
+        st = run("light_joint_warmup", data_true, data_c, meta,
+             ("light_int",),
+             opt=optax.adam(optax.cosine_decay_schedule(
+                 0.005 * li_scale, 100)),
+             err_fns={"li_relerr": li_rel}, steps=100)
+        data_c2 = dataclasses.replace(
+            data_c, light_int=jnp.asarray(
+                jax.device_get(st.params["light_int"])))
+        opt_joint = optax.multi_transform(
+            {"pos": optax.adam(optax.cosine_decay_schedule(0.02, 250)),
+             "int": optax.adam(optax.cosine_decay_schedule(
+                 0.002 * li_scale, 250))},
+            {"light_pos": "pos", "light_int": "int"})
+        run("light_joint", data_true, data_c2, meta,
+            ("light_pos", "light_int"),
+            opt=opt_joint, err_fns={"lp_err": lp_err, "li_relerr": li_rel},
+            steps=250)
 
     # ---- vertices with periodic accel rebuild -------------------------
     v_true = np.asarray(data_true.vertices)
@@ -140,15 +167,52 @@ def main():
     v0 = v_true + rng.normal(0, sigma, v_true.shape).astype(np.float32)
     data_d = dataclasses.replace(data_true,
                                  vertices=jnp.asarray(v0, jnp.float32))
+    # Parameter RMSE alone is the wrong lens: hidden vertices and
+    # in-surface (tangential) displacements are image-NULL directions
+    # that keep their jitter by construction.  Decompose the error
+    # along per-vertex TRUE surface normals (area-weighted face-normal
+    # average): err_normal is the observable component.
+    tv = np.asarray(data_true.tri_v, np.int64)[: meta.n_tris]
+    fn = np.cross(v_true[tv[:, 1]] - v_true[tv[:, 0]],
+                  v_true[tv[:, 2]] - v_true[tv[:, 0]])
+    vn = np.zeros_like(v_true)
+    for k in range(3):
+        np.add.at(vn, tv[:, k], fn)
+    nrm = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = vn / np.maximum(nrm, 1e-12)
+    has_n = (nrm[:, 0] > 1e-12)
+    vn_j = jnp.asarray(vn)
+
+    def err_normal(p):
+        d = p["vertices"] - v_true
+        comp = jnp.sum(d * vn_j, axis=1)
+        return jnp.sqrt(jnp.mean(jnp.where(has_n, comp, 0.0) ** 2))
+
+    def err_tangent(p):
+        d = p["vertices"] - v_true
+        comp = d - jnp.sum(d * vn_j, axis=1, keepdims=True) * vn_j
+        return jnp.sqrt(jnp.mean(jnp.sum(comp * comp, axis=1) / 2))
+
     print(json.dumps({"setup": "vertices", "scene": "bunny",
                       "sigma": round(sigma, 6), "diag": round(diag, 3),
                       "init_vrmse": round(float(np.sqrt(
                           ((v0 - v_true) ** 2).mean())), 6)}), flush=True)
-    run("vertices", data_true, data_d, meta, ("vertices",),
-        opt=optax.adam(optax.cosine_decay_schedule(3e-5, 300)),
+    # Fixed-hit-topology convention (the same one tests/test_grad.py's
+    # vertex FD checks use): hit ids come from the TARGET geometry's
+    # accel, smooth quantities from the current vertices — the loss
+    # optimum then sits exactly at v_true.  The alternative (accel from
+    # the perturbed geometry, rebuilt every 25 steps) was measured: the
+    # discrete wrong-hit class (loss 108 of 210 at v_true under the
+    # stale accel) dominates and the optimizer reduces image loss
+    # 210 -> ~55 by compensation, with v_rmse FLAT — recorded in
+    # BASELINE.md as the identifiability caveat.
+    if want("vertices"):
+        run("vertices", data_true, data_d, meta, ("vertices",),
+        opt=optax.adam(optax.cosine_decay_schedule(3e-5, 400)),
         err_fns={"v_rmse": lambda p: jnp.sqrt(
-            jnp.mean((p["vertices"] - v_true) ** 2))},
-        steps=300, rebuild_every=25)
+            jnp.mean((p["vertices"] - v_true) ** 2)),
+            "err_normal": err_normal, "err_tangent": err_tangent},
+        steps=400, accel_from_true=True)
 
 
 main()
