@@ -38,8 +38,11 @@ def run(kind, maker, size):
         row["cluster_cols_tri"] = int(ctp)
         row["cluster_cols_sph"] = int(csp)
         row["hier_mask"] = bool(max(ctp, csp) > ct._SUPER_MIN_CPAD)
-        slots = max(cset.tri_dat.shape[1], cset.sph_dat.shape[1])
-        row["visit_segments"] = int(-(-slots // ct.SEG_SLOTS))
+        # segmentation applies to the TRIANGLE slot axis only; the
+        # sphere table rides whole (4 rows x Ps) into every kernel
+        row["tri_segments"] = int(-(-cset.tri_dat.shape[1]
+                                    // ct.SEG_SLOTS))
+        row["sphere_slots_whole"] = int(cset.sph_dat.shape[1])
         row["accel_hbm_mb"] = round(sum(
             np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(cset)
         ) / 1e6, 1)
