@@ -398,6 +398,29 @@ def _render_band_jit(data, meta, cam_vec, h, w, row0, band_h, perm, inv,
     return quantize(downsample_mean(color, ssaa))
 
 
+def _cap_chunk_for_big_scenes(chunk: int, bvh) -> int:
+    """Cap the ray-chunk size for SEGMENTED scenes so each compiled
+    program carries at most ONE MAX_NT kernel split.
+
+    Scenes beyond SEG_SLOTS triangle slots unroll a Pallas visit call
+    per cluster-axis segment per wave; a >MAX_NT-tile chunk then
+    multiplies every one of those instances, and the remote compile
+    service crashes on the resulting program (round-5 envelope,
+    measured: 2M tris / 500k spheres FAIL at the default 2M-ray chunk
+    and render fine at a 196,608-ray chunk — 187.3 ms / 463.7 ms at
+    512^2; experiments/exp_envelope_r5.py).  Capping costs nothing for
+    bundled scenes (their frames already fit one chunk) and only adds
+    per-chunk dispatch overhead for giants."""
+    from raytracer_tpu.models.clusters import ClusterSet
+    from raytracer_tpu.ops.cluster_trace import MAX_NT, SEG_SLOTS, TILE
+
+    if isinstance(bvh, ClusterSet) and (
+            bvh.tri_dat.shape[1] > SEG_SLOTS
+            or bvh.sph_dat.shape[1] > SEG_SLOTS):
+        return min(chunk, MAX_NT * TILE)
+    return chunk
+
+
 def _tile_block_shape():
     """(bh, bw) pixel-block shape holding exactly TILE rays (e.g. TILE=128
     -> 8x16, 256 -> 16x16): the square-ish frustum the cluster shortlist
@@ -460,6 +483,8 @@ def render_camera_streamed(
             engine = "bvh"
         else:
             engine = "brute"
+    if engine == "cluster":
+        chunk = _cap_chunk_for_big_scenes(chunk, bvh)
     hs, ws = cam.height * ssaa, cam.width * ssaa
     lcm = 16 * ssaa // np.gcd(16, ssaa)
     if mesh is not None and mesh.size > 1:
@@ -535,6 +560,7 @@ def render_camera(
         else:
             perm, inv = block_permutation(cam.height, cam.width, bh, bw)
         chunk = max(TILE, (chunk // TILE) * TILE)
+        chunk = _cap_chunk_for_big_scenes(chunk, bvh)
     if r <= chunk:
         # whole frame in one fused dispatch
         from raytracer_tpu.ops.camera import camera_vectors
