@@ -403,21 +403,22 @@ def _cap_chunk_for_big_scenes(chunk: int, bvh) -> int:
     program carries at most ONE MAX_NT kernel split.
 
     Scenes beyond SEG_SLOTS triangle slots unroll a Pallas visit call
-    per cluster-axis segment per wave; a >MAX_NT-tile chunk then
-    multiplies every one of those instances, and the remote compile
-    service crashes on the resulting program (round-5 envelope,
-    measured: 2M tris / 500k spheres FAIL at the default 2M-ray chunk
-    and render fine at a 196,608-ray chunk — 187.3 ms / 463.7 ms at
-    512^2; experiments/exp_envelope_r5.py).  Capping costs nothing for
-    bundled scenes (their frames already fit one chunk) and only adds
-    per-chunk dispatch overhead for giants."""
+    per cluster-axis segment per wave; a large chunk multiplies every
+    one of those instances (MAX_NT splits) AND scales each instance's
+    shortlist arrays, and the remote compile service crashes on the
+    resulting program (round-5 envelope, measured: 2M tris / 500k
+    spheres FAIL at the default 2M-ray chunk AND at a 196,608-ray
+    (exactly-MAX_NT) chunk, and render fine at a 131,072-ray chunk —
+    187.3 ms / 463.7 ms at 512^2; experiments/exp_envelope_r5.py).
+    Capping costs nothing for bundled scenes (their frames already fit
+    one chunk) and only adds per-chunk dispatch overhead for giants."""
     from raytracer_tpu.models.clusters import ClusterSet
-    from raytracer_tpu.ops.cluster_trace import MAX_NT, SEG_SLOTS, TILE
+    from raytracer_tpu.ops.cluster_trace import SEG_SLOTS
 
     if isinstance(bvh, ClusterSet) and (
             bvh.tri_dat.shape[1] > SEG_SLOTS
             or bvh.sph_dat.shape[1] > SEG_SLOTS):
-        return min(chunk, MAX_NT * TILE)
+        return min(chunk, 1 << 17)
     return chunk
 
 

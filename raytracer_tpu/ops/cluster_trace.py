@@ -1407,7 +1407,7 @@ def cluster_shadow_multi(cset: ClusterSet, planes_list, origin, light_pos,
         th, sh = _cluster_masks(cset, origin, dirs_l, acts[l], ones)
         thits.append(th)
         shits.append(sh)
-    found = _cluster_shadow_call_ml(
+    found = _segmented_shadow_ml(
         tuple(thits), tuple(shits), origin, planes_list, lp,
         cset.sph_dat, cset.n_sph, nl, early_exit, relaxed,
     )
@@ -1438,7 +1438,7 @@ def cluster_shadow(cset: ClusterSet, planes, origin, dirs, light_pos,
     r, origin, dirs, active = _pad_rays(origin, dirs, active)
     ones = jnp.ones((origin.shape[0],), jnp.float32)
     thit, shit = _cluster_masks(cset, origin, dirs, active, ones)
-    occ = _cluster_shadow_call(
+    occ = _segmented_shadow(
         thit, shit, origin, planes, lp, cset.sph_dat, cset.n_sph,
         early_exit, relaxed,
     )
@@ -1768,45 +1768,54 @@ def _merge_small_spheres(cset: ClusterSet, origin, dirs, t_k, slot_k):
 # ~16 MB of VMEM/core.  Scenes beyond SEG_SLOTS triangle slots run the
 # kernel once per 128k-slot CLUSTER-AXIS SEGMENT (shortlist columns
 # sliced per segment, results min-merged), so scene size is bounded by
-# HBM, not VMEM.  Tie semantics across segments: strict-< keeps the
-# EARLIER segment's winner (ascending cluster id), and spheres ride the
-# LAST segment so a tri always keeps an exact-t tie against a sphere —
-# the same rule as the single-pass kernel except for exact float ties
-# between triangles in different segments where the in-kernel
-# front-to-back visit order could have picked differently (no bundled
-# scene is segmented; the regime has no reference golden).
-# Assumes the default non-treelet cluster build (valid tri slots form a
-# prefix, so a segment's real-slot count is clip(n_tri - s0, 0, width)).
+# HBM, not VMEM.  Round 5 extends the same segmentation to the SPHERE
+# axis (sphere tables beyond SEG_SLOTS slots previously rode whole into
+# every kernel: a (4, 1M) block crashed the remote compiler; 1M-sphere
+# scenes now render).  Tie semantics across segments: strict-< keeps
+# the EARLIER segment's winner (ascending cluster id); all tri segments
+# merge BEFORE all sphere segments so a tri always keeps an exact-t tie
+# against a sphere — the same rule as the single-pass kernel except for
+# exact float ties between primitives in different segments where the
+# in-kernel front-to-back visit order could have picked differently (no
+# bundled scene is segmented; the regime has no reference golden).
+# Assumes the default non-treelet cluster build (valid slots form a
+# prefix, so a segment's real-slot count is clip(n_valid - s0, 0, w)).
 SEG_SLOTS = 128 * 1024
 
 
-def _remap_seg_slot(slot, s0: int, w: int, pt: int):
+def _remap_seg_slot(slot, s0: int, w: int, pt: int, sph_s0: int = 0):
     """Segment-local kernel slot -> global slot space ([0, pt) tris,
-    [pt, pt+ps) spheres)."""
+    [pt, pt+ps) spheres); ``sph_s0`` offsets sphere-segment slots."""
     return jnp.where(
-        slot < 0, MISS, jnp.where(slot < w, slot + s0, slot - w + pt))
+        slot < 0, MISS,
+        jnp.where(slot < w, slot + s0, slot - w + pt + sph_s0))
+
+
+def _seg_ranges(p: int):
+    return [(s, min(s + SEG_SLOTS, p)) for s in range(0, p, SEG_SLOTS)]
+
+
+_MIN_PAD = CLUSTER  # minimal placeholder table width (one cluster row)
 
 
 def _segmented_closest(call, thit, shit, org, dirs, tri_dat, sph_dat,
                        n_tri: int, n_sph: int, bfc: bool):
     pt = tri_dat.shape[1]
-    if pt <= SEG_SLOTS:
+    ps = sph_dat.shape[1]
+    if pt <= SEG_SLOTS and ps <= SEG_SLOTS:
         return call(thit, shit, org, dirs, tri_dat, sph_dat, n_tri, n_sph,
                     bfc)
-    nt, cs = thit[0].shape[0], shit[0].shape[1]
+    nt = thit[0].shape[0]
+    cs = shit[0].shape[1]
+    tsegs = _seg_ranges(pt)
+    ssegs = _seg_ranges(ps)
+    # placeholder tables/shortlists for the axis a call does not visit
     empty_sh = _empty_shit(nt, cs)
-    segs = list(range(0, pt, SEG_SLOTS))
+    sph_min = sph_dat[:, :_MIN_PAD]
     best_t = best_slot = None
-    for si, s0 in enumerate(segs):
-        s1 = min(s0 + SEG_SLOTS, pt)
-        last = si == len(segs) - 1
-        th = (thit[0][:, s0 // CLUSTER: s1 // CLUSTER],
-              thit[1][:, s0 // CLUSTER: s1 // CLUSTER])
-        t, slot = call(th, shit if last else empty_sh, org, dirs,
-                       tri_dat[:, s0:s1], sph_dat,
-                       int(np.clip(n_tri - s0, 0, s1 - s0)),
-                       n_sph if last else 0, bfc)
-        slot = _remap_seg_slot(slot, s0, s1 - s0, pt)
+
+    def merge(t, slot):
+        nonlocal best_t, best_slot
         if best_slot is None:
             best_t, best_slot = t, slot
         else:
@@ -1815,6 +1824,29 @@ def _segmented_closest(call, thit, shit, org, dirs, tri_dat, sph_dat,
             upd = tv_new < tv_best
             best_t = jnp.where(upd, t, best_t)
             best_slot = jnp.where(upd, slot, best_slot)
+
+    for si, (s0, s1) in enumerate(tsegs):
+        # spheres ride the last tri segment only when they fit one call
+        with_sph = (si == len(tsegs) - 1) and len(ssegs) == 1
+        th = (thit[0][:, s0 // CLUSTER: s1 // CLUSTER],
+              thit[1][:, s0 // CLUSTER: s1 // CLUSTER])
+        t, slot = call(th, shit if with_sph else empty_sh, org, dirs,
+                       tri_dat[:, s0:s1],
+                       sph_dat if with_sph else sph_min,
+                       int(np.clip(n_tri - s0, 0, s1 - s0)),
+                       n_sph if with_sph else 0, bfc)
+        merge(t, _remap_seg_slot(slot, s0, s1 - s0, pt))
+    if len(ssegs) > 1:
+        t0, t1 = tsegs[-1]
+        tri_min = tri_dat[:, t0:t0 + _MIN_PAD]
+        empty_th = _empty_shit(nt, _MIN_PAD // CLUSTER)
+        for (s0, s1) in ssegs:
+            sh = (shit[0][:, s0 // CLUSTER: s1 // CLUSTER],
+                  shit[1][:, s0 // CLUSTER: s1 // CLUSTER])
+            t, slot = call(empty_th, sh, org, dirs, tri_min,
+                           sph_dat[:, s0:s1], 0,
+                           int(np.clip(n_sph - s0, 0, s1 - s0)), bfc)
+            merge(t, _remap_seg_slot(slot, 0, _MIN_PAD, pt, sph_s0=s0))
     return best_t, best_slot
 
 
@@ -1822,25 +1854,95 @@ def _segmented_any(thit, shit, origin, dirs, t_max_col, tri_dat, sph_dat,
                    n_tri: int, n_sph: int, bfc: bool,
                    relaxed: bool = False):
     pt = tri_dat.shape[1]
-    if pt <= SEG_SLOTS:
+    ps = sph_dat.shape[1]
+    if pt <= SEG_SLOTS and ps <= SEG_SLOTS:
         return _cluster_any_call(thit, shit, origin, dirs, t_max_col,
                                  tri_dat, sph_dat, n_tri, n_sph, bfc,
                                  relaxed)
-    nt, cs = thit[0].shape[0], shit[0].shape[1]
+    nt = thit[0].shape[0]
+    cs = shit[0].shape[1]
+    tsegs = _seg_ranges(pt)
+    ssegs = _seg_ranges(ps)
     empty_sh = _empty_shit(nt, cs)
-    segs = list(range(0, pt, SEG_SLOTS))
+    sph_min = sph_dat[:, :_MIN_PAD]
     occ = None
-    for si, s0 in enumerate(segs):
-        s1 = min(s0 + SEG_SLOTS, pt)
-        last = si == len(segs) - 1
+    for si, (s0, s1) in enumerate(tsegs):
+        with_sph = (si == len(tsegs) - 1) and len(ssegs) == 1
         th = (thit[0][:, s0 // CLUSTER: s1 // CLUSTER],
               thit[1][:, s0 // CLUSTER: s1 // CLUSTER])
-        o = _cluster_any_call(th, shit if last else empty_sh, origin, dirs,
-                              t_max_col, tri_dat[:, s0:s1], sph_dat,
+        o = _cluster_any_call(th, shit if with_sph else empty_sh, origin,
+                              dirs, t_max_col, tri_dat[:, s0:s1],
+                              sph_dat if with_sph else sph_min,
                               int(np.clip(n_tri - s0, 0, s1 - s0)),
-                              n_sph if last else 0, bfc, relaxed)
+                              n_sph if with_sph else 0, bfc, relaxed)
+        occ = o if occ is None else (occ | o)
+    if len(ssegs) > 1:
+        t0, _ = tsegs[-1]
+        tri_min = tri_dat[:, t0:t0 + _MIN_PAD]
+        empty_th = _empty_shit(nt, _MIN_PAD // CLUSTER)
+        for (s0, s1) in ssegs:
+            sh = (shit[0][:, s0 // CLUSTER: s1 // CLUSTER],
+                  shit[1][:, s0 // CLUSTER: s1 // CLUSTER])
+            o = _cluster_any_call(empty_th, sh, origin, dirs, t_max_col,
+                                  tri_min, sph_dat[:, s0:s1], 0,
+                                  int(np.clip(n_sph - s0, 0, s1 - s0)),
+                                  bfc, relaxed)
+            occ = o if occ is None else (occ | o)
+    return occ
+
+
+def _segmented_shadow(thit, shit, origin, planes, lp, sph_dat,
+                      n_sph: int, early_exit: bool, relaxed: bool):
+    """Sphere-axis segmentation of the plane-kernel shadow call (round
+    5): occlusion ORs are order-free, so each 128k-slot sphere segment
+    runs its own call (shortlist columns sliced); the tri planes +
+    shortlists ride segment 0 only (later segments see a minimal
+    placeholder plane table + empty tri lists)."""
+    ps = sph_dat.shape[1]
+    if ps <= SEG_SLOTS:
+        return _cluster_shadow_call(thit, shit, origin, planes, lp,
+                                    sph_dat, n_sph, early_exit, relaxed)
+    nt = thit[0].shape[0]
+    empty_th = _empty_shit(nt, _MIN_PAD // CLUSTER)
+    planes_min = planes[:, :_MIN_PAD]
+    occ = None
+    for si, (s0, s1) in enumerate(_seg_ranges(ps)):
+        sh = (shit[0][:, s0 // CLUSTER: s1 // CLUSTER],
+              shit[1][:, s0 // CLUSTER: s1 // CLUSTER])
+        o = _cluster_shadow_call(
+            thit if si == 0 else empty_th, sh, origin,
+            planes if si == 0 else planes_min, lp, sph_dat[:, s0:s1],
+            int(np.clip(n_sph - s0, 0, s1 - s0)), early_exit, relaxed)
         occ = o if occ is None else (occ | o)
     return occ
+
+
+def _segmented_shadow_ml(thits, shits, origin, planes_list, lp, sph_dat,
+                         n_sph: int, n_lights: int, early_exit: bool,
+                         relaxed: bool):
+    """Multi-light variant of _segmented_shadow: per-light occlusion
+    bitfields OR across sphere segments."""
+    ps = sph_dat.shape[1]
+    if ps <= SEG_SLOTS:
+        return _cluster_shadow_call_ml(thits, shits, origin, planes_list,
+                                       lp, sph_dat, n_sph, n_lights,
+                                       early_exit, relaxed)
+    nt = thits[0][0].shape[0]
+    empty_th = _empty_shit(nt, _MIN_PAD // CLUSTER)
+    planes_min = [p[:, :_MIN_PAD] for p in planes_list]
+    found = None
+    for si, (s0, s1) in enumerate(_seg_ranges(ps)):
+        shs = tuple((sh[0][:, s0 // CLUSTER: s1 // CLUSTER],
+                     sh[1][:, s0 // CLUSTER: s1 // CLUSTER])
+                    for sh in shits)
+        ths = thits if si == 0 else tuple(empty_th for _ in thits)
+        f = _cluster_shadow_call_ml(
+            ths, shs, origin, planes_list if si == 0 else planes_min,
+            lp, sph_dat[:, s0:s1],
+            int(np.clip(n_sph - s0, 0, s1 - s0)), n_lights,
+            early_exit, relaxed)
+        found = f if found is None else (found | f)
+    return found
 
 
 def cluster_closest(data: SceneData, cset: ClusterSet, origin, dirs,
